@@ -1,0 +1,122 @@
+package graft.features
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Corpus
+import graft.functions.Text
+import graft.operators.AsOf
+
+/** Flagship pipeline: per-entity×timestamp feature vectors over the
+  * image+caption corpus (BASELINE.json north_star).
+  *
+  * Generalizes the reference's fold-local feature derivation
+  * (`train_functions.R:138-176`: stats from the training partition only,
+  * applied forward) to event time: every feature at time t is a function of
+  * events with event_time <= t only — enforced structurally by
+  * unbounded-PRECEDING window frames and the as-of join, and proven by the
+  * leakage property suite.
+  *
+  * Plan shape (scale notes):
+  *  - scalar caption/phash features: pure projections, zero shuffle,
+  *    whole-stage codegen;
+  *  - dimension feature table (the text-mining rank-table analog,
+  *    `text_mining_feature/Erlotinib.csv:1`): collected once on the driver
+  *    (it is small by definition) and shipped as literal maps inside the
+  *    plan — broadcast semantics with zero join shuffle;
+  *  - entity metadata: broadcast hash join (no shuffle of the fact side);
+  *  - all temporal features share ONE window layout (hash by entity, sort by
+  *    (entity, time, seq)) → exactly one shuffle + one sort end-to-end.
+  */
+object FeaturePipeline {
+
+  /** Tiny per-entity metadata table: entity → topic assignment (broadcast). */
+  def entityDim(spark: SparkSession, entities: Int, topics: Int = 5): DataFrame = {
+    import spark.implicits._
+    (0 until entities)
+      .map(e => ("e%05d".format(e), "topic%d".format(e % topics)))
+      .toDF("entity_id", "topic")
+  }
+
+  /** Compute the feature vector table from an event-shaped corpus.
+    *
+    * @param events  columns: image_id, caption, phash, entity_id, event_ms, seq
+    * @param dim     dimension feature table (topic, token, rank, n, n_pos, score)
+    * @param entDim  entity metadata (entity_id, topic)
+    * @param gapMs   sessionization gap threshold
+    */
+  def features(events: DataFrame, dim: DataFrame, entDim: DataFrame,
+      gapMs: Long = Corpus.SessionGapMs): DataFrame = {
+
+    // --- broadcast the small dimension feature table as literal maps -------
+    // (driver-side collect of a SMALL dim only; never of fact data)
+    val dimRows = dim.select("topic", "token", "rank", "score").collect()
+    val rankMap: Map[String, Int] =
+      dimRows.map(r => s"${r.getString(0)}#${r.getString(1)}" -> r.getInt(2)).toMap
+    val scoreMap: Map[String, Double] =
+      dimRows.map(r => s"${r.getString(0)}#${r.getString(1)}" -> r.getDouble(3)).toMap
+    val rankLit = typedLit(rankMap)
+    val scoreLit = typedLit(scoreMap)
+
+    val stop = Corpus.Stopwords
+
+    // --- entity metadata: broadcast hash join (no fact shuffle) ------------
+    val withTopic = events.join(broadcast(entDim), Seq("entity_id"), "left")
+
+    // --- scalar caption + dim-token features (projection only) -------------
+    val toks = Text.tokens(col("caption"))
+    val keys = transform(toks, t => concat(coalesce(col("topic"), lit("")), lit("#"), t))
+    val matched = filter(keys, k => map_contains_key(rankLit, k))
+    val scalar = withTopic
+      .withColumn("token_count", Text.tokenCount(col("caption")))
+      .withColumn("caption_len", length(col("caption")).cast("long"))
+      .withColumn("stopword_ratio", round(Text.stopwordRatio(col("caption"), stop), 6))
+      .withColumn("quality", Text.qualityScore(col("caption"), stop))
+      .withColumn("dim_matched", size(matched).cast("long"))
+      .withColumn("dim_min_rank",
+        when(size(matched) > 0, array_min(transform(matched, k => element_at(rankLit, k)))))
+      .withColumn("dim_score_sum",
+        round(aggregate(matched, lit(0.0), (acc, k) => acc + element_at(scoreLit, k)), 6))
+      // a sparsely-populated signal to demonstrate rolling backfill
+      .withColumn("sparse_quality", when(col("token_count") >= 6, col("quality")))
+
+    // --- one shared window layout for every temporal feature ---------------
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("event_ms"), col("seq"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    scalar
+      .withColumn("phash_prev", lag(col("phash"), 1).over(w))
+      .withColumn("phash_prev_hamming",
+        when(col("phash_prev").isNotNull, bit_count(col("phash").bitwiseXOR(col("phash_prev")))))
+      .withColumn("dt_prev_ms", col("event_ms") - lag(col("event_ms"), 1).over(w))
+      .withColumn("__new",
+        when(col("dt_prev_ms").isNull || col("dt_prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(wRun) - 1L)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("session_pos",
+        col("__rn") - last(when(col("__new") === 1L, col("__rn")), ignoreNulls = true).over(wRun))
+      .withColumn("quality_filled", last(col("sparse_quality"), ignoreNulls = true).over(wRun))
+      .withColumn("running_quality_mean", round(avg(col("quality")).over(wRun), 6))
+      .drop("__new", "__rn", "phash_prev", "bytes", "caption", "fmt")
+  }
+
+  /** Attach the point-in-time feature vector to arbitrary (entity, t) probes
+    * — the engine's flagship query: "the feature vector in effect at t".
+    */
+  def asOfFeatures(probes: DataFrame, features: DataFrame): DataFrame =
+    AsOf.join(probes, features
+        .select("entity_id", "event_ms", "seq", "image_id", "token_count", "quality",
+          "phash_prev_hamming", "session_idx", "session_pos", "quality_filled",
+          "running_quality_mean", "dim_matched", "dim_score_sum"),
+      entity = "entity_id", probeTime = "probe_ms", eventTime = "event_ms",
+      tie = Some("seq"))
+
+  /** End-to-end flagship at a given scale (synthesize → features → as-of). */
+  def flagship(spark: SparkSession, p: Corpus.Params): DataFrame = {
+    val ev = Corpus.events(spark, p)
+    val dim = Corpus.dimFeatures(spark, p.seed)
+    val ed = entityDim(spark, p.entities)
+    asOfFeatures(Corpus.probes(spark, p), features(ev, dim, ed))
+  }
+}

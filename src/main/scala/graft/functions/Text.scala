@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for caption/document processing — all
+  * built from codegen'd Catalyst built-ins (no UDFs in the hot path), per
+  * SURVEY.md §2.8/§2.12 policy ("expressions first").
+  */
+object Text {
+
+  /** Whitespace tokenization; empty tokens removed. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > lit(0))
+
+  /** Token count (whitespace tokenizer). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-count proxy: words + extra units for long words and
+    * digit/punctuation boundaries — a deterministic stand-in for a real
+    * tokenizer's token count (the container has no tokenizer libs).
+    */
+  def bpeTokenCount(text: Column): Column = {
+    val words = tokenCount(text)
+    val chars = length(regexp_replace(text, "\\s+", ""))
+    // every word costs >=1 unit; characters beyond 6 per word add ~1 unit/4 chars
+    val extra = greatest(lit(0), (chars - words * lit(6)) / lit(4))
+    (words + extra).cast("long")
+  }
+
+  /** Occurrence count of a literal substring (portable replace-counting). */
+  def countOccurrences(text: Column, sub: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(sub), ""))) / sub.length).cast("long")
+
+  /** Ratio of stopword tokens to all tokens (quality signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = filter(toks, t => t.isin(stopwords.map(lit(_).cast("string")): _*))
+    when(size(toks) > 0, size(sw).cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards moderate length, low
+    * punctuation, mid-range stopword ratio (reference analog: the
+    * low-information feature filters `train_functions.R:15-26`).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore = least(n / lit(8.0), lit(1.0))
+    val punct = punctRatio(text)
+    val swr = stopwordRatio(text, stopwords)
+    val swScore = lit(1.0) - abs(swr - lit(0.35)) / lit(0.65)
+    round(greatest(lit(0.0), least(lit(1.0),
+      lenScore * lit(0.4) + (lit(1.0) - punct) * lit(0.3) + swScore * lit(0.3))), 6)
+  }
+
+  /** n-gram heuristic language id over a small language-profile table:
+    * score = count of language-characteristic function words present.
+    * Deterministic, pure column expressions.
+    */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit(_).cast("string")): _*)))
+    }
+  }
+
+  /** Predicted language: argmax marker count, 'und' if all zero.
+    * Ties break alphabetically (deterministic).
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft(struct(scores.head._2.as("s"), lit(scores.head._1).as("l"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(sc.as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Deterministic 64-bit document fingerprint: polynomial rolling hash over
+    * the token sequence (order-sensitive, whitespace-normalized) — exact-dup
+    * detection key that is stable across partitionings and engines that
+    * implement the same polynomial.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1469598103934665603L),
+      (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+
+  /** Hamming distance between two 64-bit hashes (phash etc.). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

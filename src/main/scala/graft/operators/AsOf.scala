@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join.
+  *
+  * Semantics generalized from the reference's key-aligned "value in effect
+  * for this entity" pattern (`helper/summarizeData.R:56-69`, SURVEY.md §2.3
+  * J8): for each probe row (entity, t) attach the most recent event row of
+  * the same entity with event_time <= t, or nulls if none exists (left
+  * as-of).
+  *
+  * Physical formulation (SURVEY.md §7.2 decision): the union-tag window
+  * technique — tag probes/events, union, and take
+  * `last(struct(event cols), ignoreNulls) OVER (PARTITION BY entity
+  * ORDER BY t, side, tie ROWS UNBOUNDED PRECEDING)`.
+  *
+  * Why this beats a custom merge exec at scale:
+  *  - exactly ONE shuffle (hash on entity) and ONE sort per side-union —
+  *    the same lower bound a sort-merge as-of has;
+  *  - stays entirely inside whole-stage codegen (WindowExec's frame here is
+  *    the running-aggregate fast path) and spills via SortExec;
+  *  - AQE skew handling and adaptive partition coalescing still apply.
+  * If the inputs are already hash-partitioned by entity and sorted by
+  * (entity, t) — e.g. read back from a graft snapshot table written with
+  * [[pin]] — Catalyst's EnsureRequirements inserts no extra exchange and no
+  * extra sort (asserted by PlanChecks in the test suite).
+  *
+  * Tie rules:
+  *  - an event at exactly t IS visible to a probe at t (<=, zero leakage of
+  *    strictly-future events only);
+  *  - among events with equal (entity, t), the one with the greatest tie
+  *    column wins (deterministic; pass a unique sequence column).
+  */
+object AsOf {
+
+  /** Pin the shuffle layout: hash-repartition by entity and sort within
+    * partitions by (entity, time, tie) so every downstream per-entity window
+    * or as-of merge reuses the layout with no extra exchange/sort.
+    */
+  def pin(df: DataFrame, entity: String, time: String, tie: Seq[String] = Nil,
+      partitions: Int = 0): DataFrame = {
+    val base = if (partitions > 0) df.repartition(partitions, col(entity))
+               else df.repartition(col(entity))
+    base.sortWithinPartitions((Seq(entity, time) ++ tie).map(col): _*)
+  }
+
+  /** Left as-of join.
+    *
+    * @param probes   left side; one output row per probe row
+    * @param events   right side; columns in `attach` are carried over
+    * @param entity   equality key column name (present on both sides)
+    * @param probeTime probe-side time column (long or timestamp)
+    * @param eventTime event-side time column (same type as probeTime)
+    * @param attach   event-side columns to attach (default: all non-key)
+    * @param tie      event-side tie-break column (greatest wins at equal t)
+    * @param prefix   prefix for attached columns (avoids collisions)
+    */
+  def join(
+      probes: DataFrame,
+      events: DataFrame,
+      entity: String,
+      probeTime: String,
+      eventTime: String,
+      attach: Seq[String] = Nil,
+      tie: Option[String] = None,
+      prefix: String = "asof_"): DataFrame = {
+    val attachCols =
+      if (attach.nonEmpty) attach
+      else events.columns.filter(c => c != entity && c != eventTime).toSeq
+    val probeCols = probes.columns.toSeq
+
+    // Unified schema: (entity, __t, __side, __tie, probe cols..., __ev struct)
+    val evStruct = struct(
+      (col(eventTime).as(prefix + "time") +: attachCols.map(c => col(c).as(prefix + c))): _*)
+    val eventsU = events.select(
+      (Seq(col(entity), col(eventTime).cast(probes.schema(probeTime).dataType).as("__t"),
+        lit(0).as("__side"),
+        tie.map(col).getOrElse(lit(0L)).cast("long").as("__tie"),
+        evStruct.as("__ev")) ++
+        probeCols.filter(_ != entity).map(c => lit(null).cast(probes.schema(c).dataType).as(c))): _*)
+    val probesU = probes.select(
+      (Seq(col(entity), col(probeTime).as("__t"), lit(1).as("__side"),
+        lit(Long.MaxValue).as("__tie"), lit(null).cast(eventsU.schema("__ev").dataType).as("__ev")) ++
+        probeCols.filter(_ != entity).map(col)): _*)
+
+    val w = Window.partitionBy(col(entity))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = eventsU.unionByName(probesU)
+      .withColumn("__match", last(col("__ev"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val out = probeCols.map(col) ++
+      ((prefix + "time") +: attachCols.map(prefix + _)).map(n => col("__match." + n).as(n))
+    joined.select(out: _*)
+  }
+}

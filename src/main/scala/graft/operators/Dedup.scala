@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Training-data deduplication operators over a document/caption corpus.
+  *
+  * Scale notes (the whole point of these): nothing here is O(n^2) over the
+  * corpus. Every near-dup variant reduces to (a) a per-row signature
+  * projection (codegen, no shuffle), (b) a bucket-key explode bounded by a
+  * small constant (bands / shingle df-threshold), (c) an equi-join on bucket
+  * keys so Spark's hash-partitioned join does candidate generation, and
+  * (d) exact verification only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative (min id) per identical text.
+    * One hash-aggregate; at 100 TB group by xxhash64(text) first so the
+    * shuffle carries 8-byte keys instead of full documents.
+    */
+  def exact(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), col(text), xxhash64(col(text)).as("__k"))
+      .groupBy("__k")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col(text)).as(text))
+      .drop("__k")
+
+  /** Fingerprint dedup: exact dedup after whitespace normalization via the
+    * rolling-hash document fingerprint (order-sensitive).
+    */
+  def byFingerprint(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), Text.fingerprint(col(text)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Character shingles of length n over the whitespace-normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(trim(text), "\\s+", " ")
+    array_distinct(filter(
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))),
+      s => length(s) === n))
+  }
+
+  /** MinHash signature: for each of k hash families, min over shingles of
+    * xxhash64(seed_i, shingle). Pure projection (no shuffle).
+    */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = shingles(text, shingleN)
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s)))
+    }: _*)
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: signature → bands → bucket join.
+    * Bands of `rowsPerBand` signature slots are hashed to bucket keys;
+    * pairs sharing any band bucket are candidates; candidates are verified
+    * with exact shingle-Jaccard and filtered by `minJaccard`.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashLsh(df: DataFrame, id: String, text: String,
+      shingleN: Int = 5, k: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.7): DataFrame = {
+    val bands = k / rowsPerBand
+    val sigd = df.select(col(id).as("__id"), col(text).as("__t"),
+      minhashSignature(col(text), shingleN, k).as("__sig"),
+      shingles(col(text), shingleN).as("__sh"))
+    val banded = sigd.select(col("__id"), col("__t"), col("__sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64((col("__sig")(b * rowsPerBand) +:
+          (1 until rowsPerBand).map(r => col("__sig")(b * rowsPerBand + r))): _*)
+      }: _*)).as(Seq("__band", "__bucket")))
+    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"),
+      col("__sh").as("__sha"))
+    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"),
+      col("__sh").as("__shb"))
+    a.join(b, Seq("__band", "__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb")))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .groupBy("id_a", "id_b").agg(round(max("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash (64-bit): sign-sum of per-token hash bits weighted by presence.
+    * Near-dups = pairs within `maxHamming`; candidate generation by exact
+    * match on 4 16-bit chunks (any chunk equal → candidate), which is
+    * complete for maxHamming <= 3 by pigeonhole.
+    */
+  def simhash(text: Column): Column = {
+    val toks = Text.tokens(text)
+    val hs = transform(toks, t => xxhash64(t))
+    // for each bit, +1 if set else -1, summed over tokens; bit set iff sum>0
+    (0 until 64).map { b =>
+      val votes = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def simhashPairs(df: DataFrame, id: String, text: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigd = df.select(col(id).as("__id"), simhash(col(text)).as("__sig"))
+    val chunked = sigd.select(col("__id"), col("__sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("__sig"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__chunk", "__key")))
+    val a = chunked.select(col("__chunk"), col("__key"), col("__id").as("id_a"),
+      col("__sig").as("__siga"))
+    val b = chunked.select(col("__chunk"), col("__key"), col("__id").as("id_b"),
+      col("__sig").as("__sigb"))
+    a.join(b, Seq("__chunk", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  /** Exact n-gram (token) Jaccard near-dup via an inverted-index join:
+    * candidate pairs must share at least one n-gram whose document frequency
+    * is below `maxDf` (bounds join fan-out; rare-gram blocking), then exact
+    * Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from shared-gram counts.
+    * Fully relational — the same plan runs in any SQL engine (oracle'd).
+    */
+  def ngramJaccard(df: DataFrame, id: String, text: String,
+      n: Int = 3, minJaccard: Double = 0.6, maxDf: Long = 20): DataFrame = {
+    val grams = df.select(col(id).as("__id"), Text.tokens(col(text)).as("__toks"))
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(1, greatest(size(__toks) - ${n - 1}, 0))," +
+          s" i -> array_join(slice(__toks, i, $n), ' '))")).as("gram"))
+      .where(length(col("gram")) > 0)
+      .distinct()
+    val sizes = grams.groupBy("__id").agg(count(lit(1)).as("__sz"))
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val rare = grams.join(dfreq.where(col("__df") <= maxDf), Seq("gram"))
+    val pairs = rare.select(col("gram"), col("__id").as("id_a"))
+      .join(rare.select(col("gram"), col("__id").as("id_b")), Seq("gram"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact shared-gram count over ALL grams, but only for candidate pairs
+    val inter = pairs
+      .join(grams.toDF("id_a", "gram"), Seq("id_a"))
+      .join(grams.toDF("id_b", "gram"), Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.toDF("id_a", "__sza"), Seq("id_a"))
+      .join(sizes.toDF("id_b", "__szb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("__inter").cast("double") /
+          (col("__sza") + col("__szb") - col("__inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

