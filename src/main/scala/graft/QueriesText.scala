@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Corpus
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** Text-analysis, deduplication, and similarity-search queries over the
+  * `documents` and `embeddings` tables (training-data pipeline operators),
+  * plus scalar-function coverage (SURVEY.md §2.8). DuckDB-oracle'd where the
+  * semantics are engine-portable; hash-based signatures (xxhash64) are
+  * oracle-free and verified by dedicated ScalaTest suites instead.
+  */
+object QueriesText {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** 30 stopwords as a DuckDB list literal (kept in sync with Corpus.Stopwords). */
+  private val swList: String =
+    Corpus.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- F1: regex-replace chain (heaviest scalar op in the reference) ------
+    "f1_regex_replace" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        regexp_replace(regexp_replace(lower(col("p_type")),
+          "(anodized|burnished)", "finished"), "\\s+", "_").as("type_clean"))),
+
+    // ---- F3/F6: split + element + substring ---------------------------------
+    "f3_split_substr" -> ((s, d) =>
+      t(s, d, "part").select(col("p_partkey"),
+        element_at(split(col("p_type"), " "), 1).as("t1"),
+        element_at(split(col("p_type"), " "), -1).as("t_last"),
+        substring(col("p_name"), 1, 5).as("name5"))),
+
+    // ---- F4/F5: case transforms + concat -------------------------------------
+    "f5_case_concat" -> ((s, d) =>
+      t(s, d, "region").select(
+        concat_ws("-", lower(col("r_name")), col("r_regionkey").cast("string")).as("tag"),
+        upper(col("r_name")).as("name_uc"))),
+
+    // ---- F8/F9: math scalars ---------------------------------------------------
+    "f9_math_scalars" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        round(log10(col("l_extendedprice")), 4).as("log_price"),
+        round(sqrt(abs(col("l_quantity"))), 4).as("sqrt_qty"),
+        floor(col("l_extendedprice") / 1000.0).cast("long").as("price_k"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))),
+
+    // ---- TXT: corpus-wide token frequency (tokenize → explode → count) -------
+    "txt_token_counts" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 100)),
+
+    // ---- TXT: per-document token stats + BPE-proxy count ----------------------
+    "txt_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.bpeTokenCount(col("text")).as("n_bpe"),
+        round(Text.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        round(Text.stopwordRatio(col("text"), Corpus.Stopwords), 4).as("stopword_ratio"),
+        round(Text.punctRatio(col("text")), 4).as("punct_ratio"))),
+
+    // ---- TXT: heuristic language id -------------------------------------------
+    "txt_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_true"),
+        Text.langId(col("text")).as("lang_pred"))),
+
+    // ---- TXT: document fingerprint (rolling hash; ScalaTest-verified) ---------
+    "txt_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fingerprint"))),
+
+    // ---- DD: exact dedup --------------------------------------------------------
+    "dd_exact" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), length(col("text")).as("text_len"))),
+
+    // ---- DD: exact n-gram Jaccard near-dup via inverted-index join -------------
+    "dd_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 20)
+        .select(col("id_a"), col("id_b"), col("jaccard"))),
+
+    // ---- DD: MinHash+LSH near-dup (hash-sig; ScalaTest-verified) ---------------
+    "dd_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
+        shingleN = 5, k = 16, rowsPerBand = 4, minJaccard = 0.5)),
+
+    // ---- DD: SimHash near-dup (hash-sig; ScalaTest-verified) -------------------
+    "dd_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // ---- SIM: embedding-cosine near-dup pairs (label-blocked) ------------------
+    "sim_cosine_pairs" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding", col("label"), 0.3)
+    }),
+
+    // ---- SIM: brute-force cosine top-k neighbors --------------------------------
+    "ann_brute_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(q, e.select(col("vec_id").as("cid"),
+          col("embedding").as("cvec")), "qid", "qvec", "cid", "cvec", k = 3)
+    }),
+
+    // ---- SIM: LSH-bucketed ANN (scale path; recall ScalaTest-verified) ----------
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(q, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        "qid", "qvec", "cid", "cvec", k = 3, planes = 8, dims = 64)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_regex_replace" ->
+      """SELECT p_partkey,
+         regexp_replace(regexp_replace(lower(p_type),
+           '(anodized|burnished)', 'finished', 'g'), '\s+', '_', 'g') AS type_clean
+         FROM part""",
+    "f3_split_substr" ->
+      """SELECT p_partkey,
+         string_split(p_type, ' ')[1] AS t1,
+         string_split(p_type, ' ')[-1] AS t_last,
+         substring(p_name, 1, 5) AS name5
+         FROM part""",
+    "f5_case_concat" ->
+      """SELECT concat_ws('-', lower(r_name), CAST(r_regionkey AS VARCHAR)) AS tag,
+         upper(r_name) AS name_uc FROM region""",
+    "f9_math_scalars" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(log10(l_extendedprice), 4) AS log_price,
+         round(sqrt(abs(l_quantity)), 4) AS sqrt_qty,
+         CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+         l_orderkey % 7 AS key_mod7
+         FROM lineitem""",
+    "txt_token_counts" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents)
+         WHERE token <> '' GROUP BY token HAVING count(*) >= 100""",
+    "txt_token_stats" ->
+      s"""WITH toks AS (SELECT doc_id, text,
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(tk) + greatest(0.0, floor(
+             (length(regexp_replace(text, '\\s+', '', 'g')) - len(tk) * 6) / 4.0))
+             AS BIGINT) AS n_bpe,
+           round(CASE WHEN len(tk) > 0 THEN
+             CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE) / len(tk)
+             ELSE 0.0 END, 4) AS mean_tok_len,
+           round(CASE WHEN len(tk) > 0 THEN
+             CAST(len(list_filter(tk, x -> list_contains($swList, x))) AS DOUBLE) / len(tk)
+             ELSE 0.0 END, 4) AS stopword_ratio,
+           round(CASE WHEN length(text) > 0 THEN
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+               / length(text) ELSE 0.0 END, 4) AS punct_ratio
+         FROM toks""",
+    "txt_langid" ->
+      """WITH toks AS (SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         sc AS (SELECT doc_id, lang,
+           len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','ein'], x))) AS s_de,
+           len(list_filter(tk, x -> list_contains(['the','and','of','is','with','for'], x))) AS s_en,
+           len(list_filter(tk, x -> list_contains(['el','la','de','que','los','una'], x))) AS s_es,
+           len(list_filter(tk, x -> list_contains(['le','la','les','des','est','une'], x))) AS s_fr
+           FROM toks)
+         SELECT doc_id, lang AS lang_true,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+         FROM sc""",
+    "dd_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+         length(text) AS text_len FROM documents GROUP BY text""",
+    "dd_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         grams AS (SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(tk) - 2),
+             i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS gram
+           FROM toks),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+         dfreq AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+         rare AS (SELECT g.doc_id, g.gram FROM grams g
+                  JOIN dfreq USING (gram) WHERE df <= 20),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                   FROM rare a JOIN rare b ON a.gram = b.gram
+                   WHERE a.doc_id < b.doc_id),
+         inter AS (SELECT p.id_a, p.id_b, count(*) AS i
+                   FROM pairs p
+                   JOIN grams ga ON ga.doc_id = p.id_a
+                   JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+                   GROUP BY p.id_a, p.id_b)
+         SELECT id_a, id_b,
+           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+         FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                    JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""",
+    "sim_cosine_pairs" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cos
+         FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         WHERE round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+           >= 0.3""",
+    "ann_brute_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),
+         scored AS (SELECT qid, e.vec_id AS cid,
+           round(list_dot_product(qv, v) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos
+           FROM q CROSS JOIN e)
+         SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         FROM scored QUALIFY rk <= 3"""
+  )
+}

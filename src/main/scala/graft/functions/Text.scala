@@ -23,8 +23,10 @@ object Text {
   def bpeTokenCount(text: Column): Column = {
     val words = tokenCount(text)
     val chars = length(regexp_replace(text, "\\s+", ""))
-    // every word costs >=1 unit; characters beyond 6 per word add ~1 unit/4 chars
-    val extra = greatest(lit(0), (chars - words * lit(6)) / lit(4))
+    // every word costs >=1 unit; characters beyond 6 per word add ~1 unit/4
+    // chars. floor() is explicit so integer-division semantics can't differ
+    // between engines.
+    val extra = greatest(lit(0.0), floor((chars - words * lit(6)) / lit(4.0)))
     (words + extra).cast("long")
   }
 
@@ -96,14 +98,15 @@ object Text {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
-  /** Deterministic 64-bit document fingerprint: polynomial rolling hash over
+  /** Deterministic 64-bit document fingerprint: rotate-xor rolling hash over
     * the token sequence (order-sensitive, whitespace-normalized) — exact-dup
-    * detection key that is stable across partitionings and engines that
-    * implement the same polynomial.
+    * detection key that is stable across partitionings. Uses shift/xor only,
+    * so it is ANSI-mode safe (no overflow-checked arithmetic).
     */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1469598103934665603L),
-      (acc, t) => acc * lit(1099511628211L) + xxhash64(t))
+      (acc, t) => shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(xxhash64(t)))
 
   /** Hamming distance between two 64-bit hashes (phash etc.). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -26,7 +26,7 @@ object Stats {
     a.join(b, group, "inner")
       .withColumn("t_stat",
         (col("m1") - col("m2")) / sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
-      .select((group.map(col) :+ round(col("t_stat"), 6).as("t_stat")
+      .select((group.map(col) :+ col("t_stat")
         :+ col("n1") :+ col("n2")): _*)
   }
 
@@ -47,7 +47,7 @@ object Stats {
     df.withColumn("__rx", avgRank(x))
       .withColumn("__ry", avgRank(y))
       .groupBy(group.map(col): _*)
-      .agg(round(corr(col("__rx"), col("__ry")), 6).as(as))
+      .agg(corr(col("__rx"), col("__ry")).as(as))
   }
 
   /** Closed-form simple linear regression per group
@@ -56,8 +56,8 @@ object Stats {
   def linearFit(df: DataFrame, group: Seq[String], x: String, y: String): DataFrame =
     df.groupBy(group.map(col): _*)
       .agg(
-        round(covar_samp(col(x), col(y)) / var_samp(col(x)), 6).as("slope"),
-        round(avg(col(y)) - covar_samp(col(x), col(y)) / var_samp(col(x)) * avg(col(x)), 6)
+        (covar_samp(col(x), col(y)) / var_samp(col(x))).as("slope"),
+        (avg(col(y)) - covar_samp(col(x), col(y)) / var_samp(col(x)) * avg(col(x)))
           .as("intercept"),
         count(lit(1)).as("n"))
 
@@ -68,10 +68,9 @@ object Stats {
     df.groupBy(group.map(col): _*)
       .agg(avg(col(value)).as("mean"), stddev_samp(col(value)).as("sd"),
         count(lit(1)).as("n"))
-      .withColumn("ci_lo", round(col("mean") - lit(z) * col("sd") / sqrt(col("n")), 6))
-      .withColumn("ci_hi", round(col("mean") + lit(z) * col("sd") / sqrt(col("n")), 6))
-      .withColumn("mean", round(col("mean"), 6))
-      .withColumn("sd", round(col("sd"), 6))
+      .withColumn("ci_lo", col("mean") - lit(z) * col("sd") / sqrt(col("n")))
+      .withColumn("ci_hi", col("mean") + lit(z) * col("sd") / sqrt(col("n")))
+      
 
   /** Leakage-safe z-score scaling (reference F10/M6,
     * `train_functions.R:144-146`): stats computed ONLY on rows where
@@ -85,7 +84,7 @@ object Stats {
       .agg(avg(col(value)).as("__mu"), stddev_samp(col(value)).as("__sigma"))
     df.join(broadcast(stats), group, "left")
       .withColumn(s"${value}_z",
-        when(col("__sigma") > 0, round((col(value) - col("__mu")) / col("__sigma"), 6)))
+        when(col("__sigma") > 0, (col(value) - col("__mu")) / col("__sigma")))
       .drop("__mu", "__sigma")
   }
 
@@ -95,9 +94,9 @@ object Stats {
   def errorMetrics(df: DataFrame, group: Seq[String], pred: String, obs: String): DataFrame =
     df.groupBy(group.map(col): _*)
       .agg(
-        round(sqrt(avg(pow(col(pred) - col(obs), 2))), 6).as("rmse"),
-        round(avg(abs(col(pred) - col(obs))), 6).as("mae"),
-        round(corr(col(pred), col(obs)), 6).as("pearson"),
+        sqrt(avg(pow(col(pred) - col(obs), 2))).as("rmse"),
+        avg(abs(col(pred) - col(obs))).as("mae"),
+        corr(col(pred), col(obs)).as("pearson"),
         count(lit(1)).as("n"))
 
   /** Wilcoxon rank-sum (Mann-Whitney U) statistic of `value` between two
@@ -114,7 +113,7 @@ object Stats {
         sum(when(col(classCol) === classA, col("__r"))).as("__r1"),
         count(when(col(classCol) === classA, 1)).as("n1"),
         count(when(col(classCol) =!= classA, 1)).as("n2"))
-      .withColumn("u_stat", round(col("__r1") - col("n1") * (col("n1") + 1) / 2.0, 6))
+      .withColumn("u_stat", col("__r1") - col("n1") * (col("n1") + 1) / 2.0)
       .drop("__r1")
   }
 }

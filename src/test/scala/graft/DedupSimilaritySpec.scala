@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Rng
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic doc corpus with planted exact + near duplicates. */
+  private def docs(n: Int, seed: Long): Seq[(Long, String)] = {
+    val vocab = (0 until 50).map(i => s"w$i")
+    val base = (0 until n).map { i =>
+      val len = 8 + Rng.int(Rng.hash(seed, i), 8)
+      val toks = (0 until len).map(k => vocab(Rng.int(Rng.hash(seed, i * 100 + k), vocab.size)))
+      i.toLong -> toks.mkString(" ")
+    }
+    // plant: exact dup of doc 0; near-dup of doc 1 (one token changed)
+    val near = base(1)._2.split(" ").toVector.updated(0, "zzz").mkString(" ")
+    base ++ Seq((n.toLong, base(0)._2), ((n + 1).toLong, near))
+  }
+
+  test("exact dedup finds the planted exact duplicate") {
+    val d = docs(30, 7L).toDF("doc_id", "text")
+    val res = Dedup.exact(d, "doc_id", "text")
+    val dup = res.filter(col("n_copies") > 1).collect()
+    assert(dup.length == 1 && dup(0).getAs[Long]("keep_id") == 0L)
+    assert(res.count() == 31) // 32 docs, one merged
+  }
+
+  test("fingerprint dedup is whitespace-normalizing and matches exact dedup") {
+    val d = Seq((1L, "a b  c"), (2L, "a b c"), (3L, "a b d")).toDF("doc_id", "text")
+    val res = Dedup.byFingerprint(d, "doc_id", "text").collect()
+    assert(res.length == 2)
+    assert(res.find(_.getAs[Long]("n_copies") == 2).get.getAs[Long]("keep_id") == 1L)
+  }
+
+  /** Exact Jaccard on character shingles, driver-side oracle. */
+  private def shingleJaccard(a: String, b: String, n: Int): Double = {
+    def sh(s: String) = s.replaceAll("\\s+", " ").trim.sliding(n).filter(_.length == n).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("minhash LSH finds high-jaccard pairs and reports exact jaccard") {
+    val data = docs(40, 11L)
+    val d = data.toDF("doc_id", "text")
+    val got = Dedup.minhashLsh(d, "doc_id", "text", shingleN = 5, k = 16,
+      rowsPerBand = 4, minJaccard = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the exact dup pair MUST be found with jaccard 1.0 (all bands collide)
+    assert(got.contains((0L, 40L)), s"exact dup pair missing; got=${got.keys}")
+    assert(math.abs(got((0L, 40L)) - 1.0) < 1e-9)
+    // every reported jaccard matches the driver-side oracle
+    val byId = data.toMap
+    got.foreach { case ((a, b), j) =>
+      val want = shingleJaccard(byId(a), byId(b), 5)
+      assert(math.abs(j - want) < 1e-4, s"pair ($a,$b): got $j want $want")
+      assert(j >= 0.6)
+    }
+  }
+
+  test("simhash blocks guarantee recall for hamming <= 3") {
+    val data = docs(40, 13L)
+    val d = data.toDF("doc_id", "text")
+    // oracle: compute simhash per doc via the same column expr, then all pairs
+    val sigs = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("ngram jaccard inverted-index join matches driver-side oracle") {
+    val data = docs(30, 17L)
+    val d = data.toDF("doc_id", "text")
+    def tokGrams(s: String, n: Int) =
+      s.trim.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet
+    val byId = data.toMap
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", n = 3, minJaccard = 0.5,
+      maxDf = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case ((a, b), j) =>
+      val (ga, gb) = (tokGrams(byId(a), 3), tokGrams(byId(b), 3))
+      val want = ga.intersect(gb).size.toDouble / (ga.size + gb.size - ga.intersect(gb).size)
+      assert(math.abs(j - want) < 1e-4, s"($a,$b) got $j want $want")
+    }
+    // exact dup pair present with jaccard 1
+    assert(got.get((0L, 30L)).exists(j => math.abs(j - 1.0) < 1e-9))
+  }
+
+  /** Deterministic embeddings with planted clusters. */
+  private def vecs(n: Int, dims: Int, seed: Long): Seq[(Long, Array[Float])] =
+    (0 until n).map { i =>
+      val cluster = i % 5
+      val arr = Array.tabulate(dims) { k =>
+        val base = Rng.double01(Rng.hash(seed, cluster.toLong * 1000 + k)) * 2 - 1
+        val noise = (Rng.double01(Rng.hash(seed, i.toLong * 100 + k)) - 0.5) * 0.1
+        (base + noise).toFloat
+      }
+      i.toLong -> arr
+    }
+
+  test("LSH ANN achieves high recall vs brute force on clustered vectors") {
+    val data = vecs(200, 16, 23L)
+    val e = data.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, c, "qid", "qvec", "cid", "cvec", 5))
+    val lsh = pairs(Similarity.lshTopK(q, c, "qid", "qvec", "cid", "cvec", 5,
+      planes = 8, dims = 16))
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall brute=${brute.size} lsh=${lsh.size}")
+  }
+
+  test("cosine near-dup pairs: same-cluster pairs are found") {
+    val data = vecs(50, 16, 29L)
+    val e = data.toDF("vec_id", "embedding")
+      .withColumn("label", pmod(col("vec_id"), lit(5)).cast("int"))
+    val got = Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+      col("label"), 0.99).collect()
+    assert(got.nonEmpty, "planted same-cluster near-dups not found")
+    got.foreach(r => assert(r.getDouble(2) >= 0.99))
+  }
+}
