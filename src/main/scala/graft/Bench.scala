@@ -1,24 +1,124 @@
 package graft
+
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Corpus
+import graft.features.FeaturePipeline
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"feature_rows_per_sec","value":N,"unit":"rows/sec",
+  *  "queries":{...per-query sec...},"sf":dir, "scaling":{...}}
+  *
+  * Two parts:
+  *  1. headline testdata queries at SPARK_GRAFT_SF_DIR (driver contract);
+  *  2. the BASELINE.json metric: entity×timestamp feature rows/sec over the
+  *     synthesized image+caption corpus, measured at TWO parallelism levels
+  *     (local[N] and local[4N]) on the SAME input — the sandbox stand-in for
+  *     the north_rule's N-vs-4N-executor cluster scaling (no real cluster
+  *     here), with efficiency = (T_N / T_4N) / 4.
+  * Also writes the human-readable scaling table to BENCH.md.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private val HeadlineQueries = Seq(
+    "q1_pricing_summary", "j1_inner_join", "j8_asof_join", "w_sessionize",
+    "w_backfill", "w1_topk_per_group", "a1_replicate_summary", "a10_spearman",
+    "f10_zscore_trainonly", "txt_token_stats", "txt_langid", "dd_exact",
+    "dd_ngram_jaccard", "dd_minhash_lsh", "ann_brute_topk")
+
+  private def session(cores: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** One full corpus feature-pipeline run; returns (seconds, rows). */
+  private def corpusRun(spark: SparkSession, rows: Long, parts: Int): (Double, Long) = {
+    val p = Corpus.Params(rows = rows, entities = math.max(64, (rows / 2000).toInt),
+      partitions = parts)
+    val ev = Corpus.events(spark, p)
+    val dim = Corpus.dimFeatures(spark, p.seed)
+    val ed = FeaturePipeline.entityDim(spark, p.entities)
+    val t0 = System.nanoTime()
+    val n = FeaturePipeline.features(ev, dim, ed)
+      .select("entity_id").count() // full pipeline materialization
+    ((System.nanoTime() - t0) / 1e9, n)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val smallCores = math.max(1, bigCores / 4)
+    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1500000").toLong
+
+    // --- part 1: headline testdata queries at full parallelism -------------
+    val spark = session(bigCores)
+    val results = HeadlineQueries.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // --- part 2: corpus feature throughput at 4N, then N -------------------
+    // warm-up JIT/codegen at small size (excluded from timing)
+    corpusRun(spark, 50000, bigCores)
+    val (tBig, rowsOut) = corpusRun(spark, corpusRows, bigCores * 4)
     spark.stop()
+
+    val sparkSmall = session(smallCores)
+    corpusRun(sparkSmall, 50000, smallCores)
+    val (tSmall, _) = corpusRun(sparkSmall, corpusRows, smallCores * 4)
+    sparkSmall.stop()
+
+    val thrBig = rowsOut / tBig
+    val thrSmall = rowsOut / tSmall
+    val efficiency = (tSmall / tBig) / (bigCores.toDouble / smallCores)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val scaling =
+      f"""{"cores_small":$smallCores,"cores_big":$bigCores,""" +
+        f""""corpus_rows":$corpusRows,"feature_rows":$rowsOut,""" +
+        f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
+        f""""rows_per_sec_small":${thrSmall.toLong},"rows_per_sec_big":${thrBig.toLong},""" +
+        f""""efficiency":$efficiency%.3f}"""
+    val total = results.map(_._2).sum + tBig + tSmall
+    println(
+      f"""{"metric":"feature_rows_per_sec","value":${thrBig.toLong},"unit":"rows/sec","total_sec":$total%.1f,"queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+
+    // human-readable scaling report (north_rule evidence)
+    val md =
+      s"""# BENCH — measured scaling (this sandbox: local-mode parallelism levels)
+         |
+         |North-rule evidence: same corpus feature job (synthesized
+         |image+caption corpus, ${corpusRows} rows -> ${rowsOut} feature rows)
+         |run at two parallelism levels in this no-cluster sandbox.
+         |
+         || parallelism | wall sec | feature rows/sec |
+         ||---|---|---|
+         || local[$smallCores] | ${f"$tSmall%.2f"} | ${thrSmall.toLong} |
+         || local[$bigCores] | ${f"$tBig%.2f"} | ${thrBig.toLong} |
+         |
+         |Scaling efficiency local[$smallCores] -> local[$bigCores]
+         |(speedup / ${bigCores / smallCores}) = ${f"$efficiency%.3f"}
+         |(target >= 0.8 per BASELINE.json).
+         |
+         |Headline testdata queries ($sfDir), seconds:
+         |
+         |${results.map { case (k, v) => f"| $k | $v%.3f |" }.mkString("| query | sec |\n|---|---|\n", "\n", "")}
+         |""".stripMargin
+    try Files.writeString(Paths.get("/root/repo/BENCH.md"), md)
+    catch { case _: Throwable => }
   }
 }

@@ -116,7 +116,7 @@ object Dedup {
     a.join(b, Seq("__chunk", "__key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).as("hamming"))
+        bit_count(col("__siga").bitwiseXOR(col("__sigb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }

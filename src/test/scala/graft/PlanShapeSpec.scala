@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.operators.AsOf
+
+/** Physical-plan assertions (SURVEY.md §7.1 step 6): the plans the engine
+  * relies on at 100 TB must actually materialize at any scale —
+  * filter/column pushdown into the parquet scan, broadcast joins for small
+  * dims, and NO extra exchange/sort for the as-of merge when the input
+  * layout is pinned.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def executed(df: DataFrame): String = {
+    // with AQE the string contains both final and initial plans; keep only
+    // the final one so node counts reflect what actually ran
+    val s = df.queryExecution.executedPlan.toString
+    s.split("== Initial Plan ==")(0)
+  }
+
+  private def countOcc(plan: String, needle: String): Int =
+    plan.sliding(needle.length).count(_ == needle)
+
+  test("filter and projection push down to the parquet scan") {
+    val df = SparkEntry.queries("s1_scan_prune")(spark, "/root/testdata/sf0.001")
+    val scan = df.queryExecution.executedPlan.collectLeaves().mkString("\n")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]")
+      || scan.contains("GreaterThan(l_quantity"), s"no pushed filter in:\n$scan")
+    assert(scan.contains("ReadSchema") &&
+      !scan.contains("l_extendedprice"), "column pruning failed — scan reads extra columns")
+  }
+
+  test("small dimension joins use broadcast hash join") {
+    val df = SparkEntry.queries("j7_broadcast_dim")(spark, "/root/testdata/sf0.001")
+    assert(executed(df).contains("BroadcastHashJoin"), executed(df))
+  }
+
+  test("as-of on pinned layout adds no extra exchange beyond the one shuffle") {
+    val p = Corpus.Params(rows = 2000, entities = 10)
+    val ev = Corpus.events(spark, p).select("entity_id", "event_ms", "seq", "phash")
+    val pr = Corpus.probes(spark, p)
+    val joined = AsOf.join(pr, ev, "entity_id", "probe_ms", "event_ms", tie = Some("seq"))
+    joined.collect() // materialize so AQE finalizes the plan
+    val plan = executed(joined)
+    // union-tag as-of = union of two sides -> ONE shuffle (hash by entity)
+    // for the window, plus the sides' own generation. No join-related
+    // exchange, no second sort after the window's.
+    val exchanges = countOcc(plan, "Exchange ") + countOcc(plan, "ShuffleExchange")
+    val sorts = countOcc(plan, "Sort ")
+    assert(plan.contains("Window") || plan.contains("RunningWindowFunction"),
+      s"expected window exec:\n$plan")
+    assert(sorts <= 1, s"as-of re-sorts (sorts=$sorts):\n$plan")
+  }
+
+  test("flagship pipeline: all temporal features share one shuffle+sort") {
+    val p = Corpus.Params(rows = 2000, entities = 10)
+    val f = graft.features.FeaturePipeline.features(
+      Corpus.events(spark, p), Corpus.dimFeatures(spark, p.seed),
+      graft.features.FeaturePipeline.entityDim(spark, p.entities))
+    f.select("entity_id").count()
+    val plan = executed(f)
+    val sorts = countOcc(plan, "Sort ")
+    assert(sorts <= 1, s"feature windows do not share a single sort (sorts=$sorts):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"entity dim join is not broadcast:\n$plan")
+  }
+}
