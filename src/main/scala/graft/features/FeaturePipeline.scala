@@ -88,7 +88,7 @@ object FeaturePipeline {
     scalar
       .withColumn("phash_prev", lag(col("phash"), 1).over(w))
       .withColumn("phash_prev_hamming",
-        when(col("phash_prev").isNotNull, bit_count(col("phash").bitwiseXOR(col("phash_prev")))))
+        graft.functions.HammingDistance.hamming(col("phash"), col("phash_prev")))
       .withColumn("dt_prev_ms", col("event_ms") - lag(col("event_ms"), 1).over(w))
       .withColumn("__new",
         when(col("dt_prev_ms").isNull || col("dt_prev_ms") > gapMs, 1L).otherwise(0L))

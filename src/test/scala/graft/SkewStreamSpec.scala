@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.functions.HammingDistance
+import graft.operators.Skew
+import graft.streaming.StreamOps
+
+class SkewStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted join is semantics-preserving vs plain join on skewed keys") {
+    val p = Corpus.Params(rows = 3000, entities = 10) // zipf: e00000 is hot
+    val fact = Corpus.events(spark, p).select("entity_id", "seq", "phash")
+    val dim = FeaturePipeline_entityDim()
+    val plain = fact.join(dim, Seq("entity_id")).select("entity_id", "seq", "topic")
+    val salted = Skew.saltedJoin(fact, dim, "entity_id", "seq", salts = 8)
+      .select("entity_id", "seq", "topic")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
+  private def FeaturePipeline_entityDim() =
+    graft.features.FeaturePipeline.entityDim(spark, 10)
+
+  test("salted aggregation equals plain aggregation") {
+    val p = Corpus.Params(rows = 3000, entities = 6)
+    val ev = Corpus.events(spark, p).select("entity_id", "seq", "w")
+    val plain = ev.groupBy("entity_id")
+      .agg(sum(col("w")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAgg(ev, "entity_id", "seq", salts = 8,
+      partial = Seq(sum(col("w")).as("ps"), count(lit(1)).as("pn")),
+      fin = Seq(sum(col("ps")).as("s"), sum(col("pn")).as("n")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plain == salted)
+  }
+
+  test("native hamming expression matches bit_count oracle and codegens") {
+    // range-based source so Catalyst cannot constant-fold the expression away
+    val df = spark.range(500)
+      .select(xxhash64(col("id"), lit(1)).as("a"), xxhash64(col("id"), lit(2)).as("b"))
+    val got = df.select(HammingDistance.hamming(col("a"), col("b")).as("h"),
+      bit_count(col("a").bitwiseXOR(col("b"))).cast("int").as("o"))
+    assert(got.filter(col("h") =!= col("o")).count() == 0)
+    // SQL registration
+    HammingDistance.register(spark)
+    df.createOrReplaceTempView("hamming_in")
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM hamming_in WHERE hamming(a, b) <> bit_count(a ^ b)")
+    assert(viaSql.head().getLong(0) == 0L)
+    // stays inside whole-stage codegen
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan)
+  }
+
+  test("streaming session windows agree with batch sessionization counts") {
+    val p = Corpus.Params(rows = 1500, entities = 8)
+    val batch = Corpus.events(spark, p)
+      .select(col("entity_id"), col("event_ms"), col("seq"), col("event_time"),
+        lit(1.0).as("value"))
+    // batch sessionize -> sessions per entity
+    // gap chosen off the corpus' 60s time grid so the strict-vs-open
+    // boundary semantics of batch (> gap) and session_window can't disagree
+    val gapMs = 1790L * 1000L
+    val sessions = graft.operators.Windows
+      .sessionize(batch, "entity_id", "event_ms", gapMs, tie = Seq("seq"))
+      .groupBy("entity_id").agg(countDistinct(col("session_idx")).as("n_sessions"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // streaming session_window over the same bounded input via a file source
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    StreamOps.runToMemory(
+      StreamOps.sessionCounts(stream, "event_time", "entity_id",
+        gap = "1790 seconds", watermark = "0 seconds"), "sess_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val streamed = spark.table("sess_out")
+      .groupBy("entity_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == sessions,
+      s"stream=$streamed\nbatch=$sessions")
+  }
+}
