@@ -62,12 +62,16 @@ object Bench {
     val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "1500000").toLong
 
     // --- part 1: headline testdata queries at full parallelism -------------
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").toSeq).getOrElse(HeadlineQueries)
     val spark = session(bigCores)
-    val results = HeadlineQueries.map { name =>
+    val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-24s $dt%8.2f s")
+      name -> dt
     }
 
     // --- part 2: corpus feature throughput at 4N, then N -------------------

@@ -55,35 +55,48 @@ object Dedup {
     }: _*)
   }
 
-  /** MinHash+LSH near-dup candidate pairs: signature → bands → bucket join.
-    * Bands of `rowsPerBand` signature slots are hashed to bucket keys;
-    * pairs sharing any band bucket are candidates; candidates are verified
-    * with exact shingle-Jaccard and filtered by `minJaccard`.
+  /** MinHash+LSH near-dup pairs: signature → bands → bucket join → exact
+    * shingle-Jaccard verification, filtered by `minJaccard`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Scale shape (what keeps this sane at 10^12 docs):
+    *  - the banding join carries ONLY (band, bucket, id) — 24 bytes/row —
+    *    never texts or shingle arrays;
+    *  - mega-buckets (non-discriminative signatures, e.g. near-empty docs or
+    *    tiny vocabularies) are dropped via `maxBucket` BEFORE the self-join,
+    *    bounding the candidate count at buckets·maxBucket² instead of n²;
+    *  - exact verification joins the candidate PAIRS back to the texts and
+    *    recomputes shingles in a projection (two hash joins on ids).
     */
   def minhashLsh(df: DataFrame, id: String, text: String,
       shingleN: Int = 5, k: Int = 16, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.7): DataFrame = {
+      minJaccard: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val bands = k / rowsPerBand
-    val sigd = df.select(col(id).as("__id"), col(text).as("__t"),
-      minhashSignature(col(text), shingleN, k).as("__sig"),
-      shingles(col(text), shingleN).as("__sh"))
-    val banded = sigd.select(col("__id"), col("__t"), col("__sh"),
+    val sigd = df.select(col(id).as("__id"),
+      minhashSignature(col(text), shingleN, k).as("__sig"))
+    val banded = sigd.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((col("__sig")(b * rowsPerBand) +:
           (1 until rowsPerBand).map(r => col("__sig")(b * rowsPerBand + r))): _*)
       }: _*)).as(Seq("__band", "__bucket")))
-    val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"),
-      col("__sh").as("__sha"))
-    val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"),
-      col("__sh").as("__shb"))
-    a.join(b, Seq("__band", "__bucket"))
+    val wBucket = Window.partitionBy(col("__band"), col("__bucket"))
+    val capped = banded
+      .withColumn("__bsz", count(lit(1)).over(wBucket))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val pairs = capped.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
+      .join(capped.select(col("__band"), col("__bucket"), col("__id").as("id_b")),
+        Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val texts = df.select(col(id), shingles(col(text), shingleN).as("__sh"))
+    pairs
+      .join(texts.toDF("id_a", "__sha"), Seq("id_a"))
+      .join(texts.toDF("id_b", "__shb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
-          size(array_union(col("__sha"), col("__shb")))).as("jaccard"))
+        round(size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))), 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-      .groupBy("id_a", "id_b").agg(round(max("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash (64-bit): sign-sum of per-token hash bits weighted by presence.
@@ -102,13 +115,23 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** @param maxBucket chunk buckets above this size are dropped before the
+    *   self-join (scale guard against non-discriminative sign patterns);
+    *   recall is complete for hamming<=3 only among docs in kept buckets —
+    *   at web scale a hot 16-bit chunk means those docs are near-identical
+    *   anyway and should go through exact dedup first.
+    */
   def simhashPairs(df: DataFrame, id: String, text: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val sigd = df.select(col(id).as("__id"), simhash(col(text)).as("__sig"))
     val chunked = sigd.select(col("__id"), col("__sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("__sig"), c * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("__chunk", "__key")))
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("__chunk"), col("__key"))))
+      .where(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val a = chunked.select(col("__chunk"), col("__key"), col("__id").as("id_a"),
       col("__sig").as("__siga"))
     val b = chunked.select(col("__chunk"), col("__key"), col("__id").as("id_b"),
