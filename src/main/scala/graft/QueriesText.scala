@@ -92,7 +92,7 @@ object QueriesText {
     // ---- DD: MinHash+LSH near-dup (hash-sig; ScalaTest-verified) ---------------
     "dd_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
-        shingleN = 5, k = 16, rowsPerBand = 4, minJaccard = 0.5)),
+        shingleN = 3, k = 16, rowsPerBand = 4, minJaccard = 0.5)),
 
     // ---- DD: SimHash near-dup (hash-sig; ScalaTest-verified) -------------------
     "dd_simhash" -> ((s, d) =>

@@ -36,7 +36,11 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Character shingles of length n over the whitespace-normalized text. */
+  /** Character shingles of length n over the whitespace-normalized text.
+    * NOTE: char shingles are only discriminative over large vocabularies;
+    * on small/overlapping vocabularies use [[tokenGrams]] (word n-grams) or
+    * every pair looks like a near-dup and candidate sets go quadratic.
+    */
   def shingles(text: Column, n: Int): Column = {
     val norm = regexp_replace(trim(text), "\\s+", " ")
     array_distinct(filter(
@@ -45,15 +49,22 @@ object Dedup {
       s => length(s) === n))
   }
 
-  /** MinHash signature: for each of k hash families, min over shingles of
-    * xxhash64(seed_i, shingle). Pure projection (no shuffle).
-    */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = shingles(text, shingleN)
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
-    }: _*)
+  /** Distinct word n-grams of the whitespace-tokenized text. */
+  def tokenGrams(text: Column, n: Int): Column = {
+    val tk = Text.tokens(text)
+    array_distinct(filter(
+      transform(sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
+        i => array_join(slice(tk, i, lit(n)), " ")),
+      g => size(split(g, " ")) === n))
   }
+
+  /** MinHash signature: for each of k hash families, min over grams of
+    * xxhash64(seed_i, gram). Pure projection (no shuffle).
+    */
+  def minhashSignature(grams: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(grams, s => xxhash64(lit(i), s)))
+    }: _*)
 
   /** MinHash+LSH near-dup pairs: signature → bands → bucket join → exact
     * shingle-Jaccard verification, filtered by `minJaccard`.
@@ -69,11 +80,12 @@ object Dedup {
     *    recomputes shingles in a projection (two hash joins on ids).
     */
   def minhashLsh(df: DataFrame, id: String, text: String,
-      shingleN: Int = 5, k: Int = 16, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+      shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
+      minJaccard: Double = 0.7, maxBucket: Int = 64,
+      gramFn: (Column, Int) => Column = tokenGrams): DataFrame = {
     val bands = k / rowsPerBand
     val sigd = df.select(col(id).as("__id"),
-      minhashSignature(col(text), shingleN, k).as("__sig"))
+      minhashSignature(gramFn(col(text), shingleN), k).as("__sig"))
     val banded = sigd.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((col("__sig")(b * rowsPerBand) +:
@@ -89,7 +101,7 @@ object Dedup {
         Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val texts = df.select(col(id), shingles(col(text), shingleN).as("__sh"))
+    val texts = df.select(col(id), gramFn(col(text), shingleN).as("__sh"))
     pairs
       .join(texts.toDF("id_a", "__sha"), Seq("id_a"))
       .join(texts.toDF("id_b", "__shb"), Seq("id_b"))

@@ -37,10 +37,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(res.find(_.getAs[Long]("n_copies") == 2).get.getAs[Long]("keep_id") == 1L)
   }
 
-  /** Exact Jaccard on character shingles, driver-side oracle. */
-  private def shingleJaccard(a: String, b: String, n: Int): Double = {
-    def sh(s: String) = s.replaceAll("\\s+", " ").trim.sliding(n).filter(_.length == n).toSet
-    val (sa, sb) = (sh(a), sh(b))
+  /** Exact Jaccard on distinct token n-grams, driver-side oracle. */
+  private def gramJaccard(a: String, b: String, n: Int): Double = {
+    def gr(s: String) = s.trim.split("\\s+").filter(_.nonEmpty)
+      .sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+    val (sa, sb) = (gr(a), gr(b))
     if (sa.isEmpty && sb.isEmpty) 1.0
     else sa.intersect(sb).size.toDouble / sa.union(sb).size
   }
@@ -48,7 +49,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("minhash LSH finds high-jaccard pairs and reports exact jaccard") {
     val data = docs(40, 11L)
     val d = data.toDF("doc_id", "text")
-    val got = Dedup.minhashLsh(d, "doc_id", "text", shingleN = 5, k = 16,
+    val got = Dedup.minhashLsh(d, "doc_id", "text", shingleN = 3, k = 16,
       rowsPerBand = 4, minJaccard = 0.6).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // the exact dup pair MUST be found with jaccard 1.0 (all bands collide)
@@ -57,7 +58,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // every reported jaccard matches the driver-side oracle
     val byId = data.toMap
     got.foreach { case ((a, b), j) =>
-      val want = shingleJaccard(byId(a), byId(b), 5)
+      val want = gramJaccard(byId(a), byId(b), 3)
       assert(math.abs(j - want) < 1e-4, s"pair ($a,$b): got $j want $want")
       assert(j >= 0.6)
     }

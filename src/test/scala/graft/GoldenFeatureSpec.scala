@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.{Corpus, Phash}
+import graft.features.FeaturePipeline
+
+/** Golden feature-vector test (SURVEY §5.2 pattern 1 / north_rule allclose):
+  * the distributed flagship pipeline vs a single-threaded, obviously-correct
+  * driver-side oracle, field by field, abs tol 1e-9 / rel tol 1e-6.
+  */
+class GoldenFeatureSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val P = Corpus.Params(rows = 1500, entities = 15)
+
+  private case class Ev(entity: String, ms: Long, seq: Long, phash: Long,
+      caption: String, topic: String)
+
+  private def allclose(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-9 + 1e-6 * math.max(math.abs(a), math.abs(b))
+
+  test("flagship feature vectors match the single-threaded oracle (allclose)") {
+    // --- oracle input: regenerate rows driver-side from the same seed -------
+    val dimRows = Corpus.dimFeatures(spark, P.seed)
+      .select("topic", "token", "rank", "score").collect()
+      .map(r => (r.getString(0) + "#" + r.getString(1), (r.getInt(2), r.getDouble(3))))
+      .toMap
+    val topicOf = (0 until P.entities)
+      .map(e => "e%05d".format(e) -> s"topic${e % 5}").toMap
+
+    val evs = (0L until P.rows).map { i =>
+      val r = Corpus.imageRow(P, i)
+      val ent = r.image_id.substring(0, r.image_id.lastIndexOf('-'))
+      Ev(ent, Corpus.eventMsOf(P.seed, i, P.baseMs, P.stepMs), i, r.phash,
+        r.caption, topicOf(ent))
+    }
+
+    // --- oracle features, per entity in (ms, seq) order ---------------------
+    case class Gold(hamming: Option[Int], sessionIdx: Long, sessionPos: Long,
+        runMeanQ: Double, dimMatched: Long, dimMinRank: Option[Int],
+        dimScoreSum: Double, tokenCount: Int, qualityFilled: Option[Double])
+    val stop = Corpus.Stopwords.toSet
+    def quality(caption: String): Double = {
+      val toks = caption.trim.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toDouble
+      val lenScore = math.min(n / 8.0, 1.0)
+      val swr = if (n > 0) toks.count(stop.contains).toDouble / n else 0.0
+      val swScore = 1.0 - math.abs(swr - 0.35) / 0.65
+      val q = math.max(0.0, math.min(1.0, lenScore * 0.4 + 1.0 * 0.3 + swScore * 0.3))
+      math.round(q * 1e6) / 1e6 // mirror round(.,6)
+    }
+    val gold = scala.collection.mutable.Map[(String, Long), Gold]()
+    evs.groupBy(_.entity).foreach { case (_, g) =>
+      val sorted = g.sortBy(e => (e.ms, e.seq))
+      var prev: Option[Ev] = None
+      var sessIdx = -1L
+      var sessStart = 0
+      var qSum = 0.0
+      var lastSparse: Option[Double] = None
+      sorted.zipWithIndex.foreach { case (e, idx) =>
+        val gap = prev.map(p => e.ms - p.ms)
+        if (gap.isEmpty || gap.get > Corpus.SessionGapMs) { sessIdx += 1; sessStart = idx }
+        val toks = e.caption.trim.split("\\s+").filter(_.nonEmpty)
+        val matched = toks.map(t => e.topic + "#" + t).filter(dimRows.contains)
+        val q = quality(e.caption)
+        qSum += q
+        if (toks.length >= 6) lastSparse = Some(q)
+        gold((e.entity, e.seq)) = Gold(
+          prev.map(p => Phash.hamming(e.phash, p.phash)),
+          sessIdx, (idx - sessStart).toLong,
+          math.round(qSum / (idx + 1) * 1e6) / 1e6,
+          matched.length.toLong,
+          if (matched.nonEmpty) Some(matched.map(k => dimRows(k)._1).min) else None,
+          math.round(matched.map(k => dimRows(k)._2).sum * 1e6) / 1e6,
+          toks.length, lastSparse)
+        prev = Some(e)
+      }
+    }
+
+    // --- engine output -------------------------------------------------------
+    val got = FeaturePipeline.features(
+      Corpus.events(spark, P), Corpus.dimFeatures(spark, P.seed),
+      FeaturePipeline.entityDim(spark, P.entities)).collect()
+
+    assert(got.length == P.rows)
+    got.foreach { r =>
+      val key = (r.getAs[String]("entity_id"), r.getAs[Number]("seq").longValue)
+      val g = gold(key)
+      def d(c: String) = r.getAs[Double](c)
+      assert(Option(r.getAs[Any]("phash_prev_hamming")).map(_.asInstanceOf[Int]) ==
+        g.hamming, s"$key hamming")
+      assert(r.getAs[Number]("session_idx").longValue == g.sessionIdx, s"$key session_idx")
+      assert(r.getAs[Number]("session_pos").longValue == g.sessionPos, s"$key session_pos")
+      assert(allclose(d("running_quality_mean"), g.runMeanQ),
+        s"$key run_mean ${d("running_quality_mean")} vs ${g.runMeanQ}")
+      assert(r.getAs[Number]("dim_matched").longValue == g.dimMatched, s"$key dim_matched")
+      assert(Option(r.getAs[Any]("dim_min_rank")).map(_.asInstanceOf[Int]) ==
+        g.dimMinRank, s"$key dim_min_rank")
+      assert(allclose(d("dim_score_sum"), g.dimScoreSum), s"$key dim_score_sum")
+      assert(r.getAs[Number]("token_count").longValue == g.tokenCount.toLong, s"$key token_count")
+      val qf = Option(r.getAs[Any]("quality_filled")).map(_.asInstanceOf[Double])
+      assert((qf, g.qualityFilled) match {
+        case (None, None) => true
+        case (Some(x), Some(y)) => allclose(x, y)
+        case _ => false
+      }, s"$key quality_filled $qf vs ${g.qualityFilled}")
+    }
+  }
+
+  test("captions are byte-equal end to end (input_hint invariant)") {
+    val imgs = Corpus.images(spark, P).collect()
+    imgs.foreach { r =>
+      val want = Corpus.captionOf(P.seed, Corpus.indexOf(r.image_id))
+      assert(r.caption == want)
+      assert(r.caption.getBytes("UTF-8").sameElements(want.getBytes("UTF-8")))
+    }
+  }
+}
