@@ -52,19 +52,25 @@ object Dedup {
   /** Distinct word n-grams of the whitespace-tokenized text. */
   def tokenGrams(text: Column, n: Int): Column = {
     val tk = Text.tokens(text)
-    array_distinct(filter(
-      transform(sequence(lit(1), greatest(size(tk) - (n - 1), lit(1))),
-        i => array_join(slice(tk, i, lit(n)), " ")),
-      g => size(split(g, " ")) === n))
+    array_distinct(
+      when(size(tk) >= n,
+        transform(sequence(lit(1), size(tk) - (n - 1)),
+          i => array_join(slice(tk, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** MinHash signature: for each of k hash families, min over grams of
-    * xxhash64(seed_i, gram). Pure projection (no shuffle).
+    * xxhash64(seed_i, gram). Pure projection (no shuffle). Single pass over
+    * the gram array (k hashes per gram, min-combined via zip_with) — NOT k
+    * separate array traversals, which would re-derive the gram array k times
+    * once CollapseProject inlines it.
     */
   def minhashSignature(grams: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(grams, s => xxhash64(lit(i), s)))
-    }: _*)
+    aggregate(grams,
+      array_repeat(lit(Long.MaxValue), lit(k)),
+      (acc, g) => zip_with(acc,
+        array((0 until k).map(i => xxhash64(lit(i), g)): _*),
+        (a, b) => least(a, b)))
 
   /** MinHash+LSH near-dup pairs: signature → bands → bucket join → exact
     * shingle-Jaccard verification, filtered by `minJaccard`.
