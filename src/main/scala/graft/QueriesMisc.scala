@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sampling / ML-boundary / source-format coverage (SURVEY.md §2.1, §2.10). */
+object QueriesMisc {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- M1: deterministic fold assignment (createDataPartition analog) -----
+    // hash-based folds rather than rand(seed): reproducible at any
+    // parallelism, which is what the engine's manifests require
+    "m1_fold_assignment" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("fold", pmod(col("o_orderkey"), lit(5)).cast("int"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")) + 1e-7, 4).as("mean_price"))),
+
+    // ---- M2: bootstrap sample with replacement (seeded; rows-only check) ----
+    "m2_bootstrap_sample" -> ((s, d) => {
+      val sampled = t(s, d, "orders").sample(withReplacement = true, 0.5, seed = 42L)
+      sampled.agg(count(lit(1)).as("n_sampled"),
+        countDistinct(col("o_orderkey")).as("n_distinct"))
+    }),
+
+    // ---- S4/S5: CSV write + schema'd read roundtrip --------------------------
+    "s4_csv_roundtrip" -> ((s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+      t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m1_fold_assignment" ->
+      """SELECT CAST(o_orderkey % 5 AS INTEGER) AS fold, count(*) AS n,
+         round(avg(o_totalprice) + 1e-7, 4) AS mean_price
+         FROM orders GROUP BY 1""",
+    "s4_csv_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region"
+  )
+}

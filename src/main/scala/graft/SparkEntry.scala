@@ -11,9 +11,11 @@ object SparkEntry {
       spark, graft.corpus.Corpus.Params(rows = 2000L, entities = 20))
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesRel.all ++ QueriesAgg.all ++ QueriesText.all ++ QueriesCorpus.all
+    QueriesRel.all ++ QueriesAgg.all ++ QueriesText.all ++ QueriesCorpus.all ++
+      QueriesMisc.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    QueriesRel.oracle ++ QueriesAgg.oracle ++ QueriesText.oracle
+    QueriesRel.oracle ++ QueriesAgg.oracle ++ QueriesText.oracle ++
+      QueriesMisc.oracle
 }

@@ -97,17 +97,28 @@ object Dedup {
         xxhash64((col("__sig")(b * rowsPerBand) +:
           (1 until rowsPerBand).map(r => col("__sig")(b * rowsPerBand + r))): _*)
       }: _*)).as(Seq("__band", "__bucket")))
-    val wBucket = Window.partitionBy(col("__band"), col("__bucket"))
-    val capped = banded
-      .withColumn("__bsz", count(lit(1)).over(wBucket))
-      .where(col("__bsz") <= maxBucket)
-      .drop("__bsz")
-    val pairs = capped.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
-      .join(capped.select(col("__band"), col("__bucket"), col("__id").as("id_b")),
-        Seq("__band", "__bucket"))
+    // mega-bucket guard: the hot-bucket list is tiny by definition -> compute
+    // it with a map-side-combined groupBy and strip via broadcast anti-join
+    // (no full window sort over the banded rows)
+    val hot = banded.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucket)
+      .select("__band", "__bucket")
+    val capped = banded.join(broadcast(hot), Seq("__band", "__bucket"), "left_anti")
+    // candidate pairs WITHOUT a self-join (signatures evaluated once):
+    // bucket members are collected (bounded by maxBucket) and exploded
+    val pairs = capped.groupBy(col("__band"), col("__bucket"))
+      .agg(collect_list(col("__id")).as("__ids"))
+      .where(size(col("__ids")) > 1)
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val texts = df.select(col(id), gramFn(col(text), shingleN).as("__sh"))
+      .distinct()
+    // exact verification only touches candidate docs: semi-join the corpus
+    // down to candidates before computing gram arrays
+    val candIds = pairs.select(col("id_a").as("__cid"))
+      .union(pairs.select(col("id_b").as("__cid"))).distinct()
+    val texts = df.join(candIds, col(id) === col("__cid"), "left_semi")
+      .select(col(id), gramFn(col(text), shingleN).as("__sh"))
     pairs
       .join(texts.toDF("id_a", "__sha"), Seq("id_a"))
       .join(texts.toDF("id_b", "__shb"), Seq("id_b"))
