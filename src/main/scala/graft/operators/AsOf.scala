@@ -47,6 +47,101 @@ object AsOf {
     base.sortWithinPartitions((Seq(entity, time) ++ tie).map(col): _*)
   }
 
+  /** Skew-safe left as-of join for HOT entities.
+    *
+    * [[join]] partitions the window by entity, so one hot entity (Zipf head
+    * of image_id prefixes) serializes into a single task at 10^12 rows. This
+    * variant splits every entity's timeline into `timeBuckets` fixed-width
+    * time ranges, so the per-partition key becomes (entity, bucket) — the
+    * hot entity's work spreads across `timeBuckets` tasks — and repairs the
+    * cross-bucket dependency with a tiny per-(entity, bucket) summary table:
+    *
+    *  1. bucket = floor((t - tmin) / span), identical for both sides;
+    *  2. within each (entity, bucket): the normal union-tag window finds the
+    *     latest event <= t *inside the probe's bucket*;
+    *  3. a per-(entity, bucket) "latest event" summary (|entities|·B rows,
+    *     tiny) is prefix-scanned per entity so each probe bucket knows the
+    *     latest event of ALL earlier buckets;
+    *  4. result = within-bucket match, else the carried prefix match.
+    *
+    * Semantically identical to [[join]] (asserted in AsOfSpec).
+    */
+  def joinSkewSafe(
+      probes: DataFrame,
+      events: DataFrame,
+      entity: String,
+      probeTime: String,
+      eventTime: String,
+      attach: Seq[String] = Nil,
+      tie: Option[String] = None,
+      prefix: String = "asof_",
+      timeBuckets: Int = 32): DataFrame = {
+    val attachCols =
+      if (attach.nonEmpty) attach
+      else events.columns.filter(c => c != entity && c != eventTime).toSeq
+
+    // fixed-width global time buckets (one tiny agg per side)
+    val bounds = probes.select(col(probeTime).cast("long").as("t"))
+      .unionByName(events.select(col(eventTime).cast("long").as("t")))
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+    val lo = bounds.getLong(0)
+    val span = math.max(1L, (bounds.getLong(1) - lo) / timeBuckets + 1L)
+    def bucketOf(t: Column): Column = ((t.cast("long") - lit(lo)) / lit(span)).cast("int")
+
+    val tieCol = tie.map(col).getOrElse(lit(0L)).cast("long")
+    val evStruct = struct(
+      (col(eventTime).cast("long").as("__t") +: tieCol.as("__tie") +:
+        attachCols.map(c => col(c).as(prefix + c))): _*)
+    val ev = events.select(col(entity), bucketOf(col(eventTime)).as("__bkt"),
+      evStruct.as("__ev"))
+
+    // per-(entity, bucket) latest event — |entities|·B rows, tiny.
+    // max(struct) orders by (__t, __tie, ...) lexicographically = our tie rule
+    val summary = ev.groupBy(col(entity), col("__bkt")).agg(max(col("__ev")).as("__last"))
+
+    // for a probe in bucket k: latest event across all buckets < k = max of
+    // summary.__last over a RANGE frame ending at bucket value k-1 (range,
+    // not rows, so probe buckets with no summary row still see the carry)
+    val probeBuckets = probes.select(col(entity), bucketOf(col(probeTime)).as("__bkt"))
+      .distinct()
+    val sumU = summary.select(col(entity), col("__bkt"), lit(0).as("__side"),
+      col("__last").as("__c"))
+    val prbU = probeBuckets.select(col(entity), col("__bkt"), lit(1).as("__side"),
+      lit(null).cast(summary.schema("__last").dataType).as("__c"))
+    val probeCarry = sumU.unionByName(prbU)
+      .withColumn("__carriedIn", max(col("__c")).over(
+        Window.partitionBy(col(entity)).orderBy(col("__bkt"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .where(col("__side") === 1)
+      .select(col(entity), col("__bkt"), col("__carriedIn"))
+
+    // within-bucket as-of via the standard union-tag window on (entity, bkt)
+    val probeCols = probes.columns.toSeq
+    val evU = ev.select(
+      (Seq(col(entity), col("__bkt"), col("__ev")("__t").as("__t"),
+        lit(0).as("__side"), col("__ev")("__tie").as("__tie"), col("__ev").as("__evs")) ++
+        probeCols.filter(_ != entity).map(c =>
+          lit(null).cast(probes.schema(c).dataType).as(c))): _*)
+    val prU = probes.select(
+      (Seq(col(entity), bucketOf(col(probeTime)).as("__bkt"),
+        col(probeTime).cast("long").as("__t"), lit(1).as("__side"),
+        lit(Long.MaxValue).as("__tie"), lit(null).cast(ev.schema("__ev").dataType).as("__evs")) ++
+        probeCols.filter(_ != entity).map(col)): _*)
+    val wIn = Window.partitionBy(col(entity), col("__bkt"))
+      .orderBy(col("__t"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = evU.unionByName(prU)
+      .withColumn("__inMatch", last(col("__evs"), ignoreNulls = true).over(wIn))
+      .where(col("__side") === 1)
+
+    val joined = within.join(probeCarry, Seq(entity, "__bkt"), "left")
+      .withColumn("__match", coalesce(col("__inMatch"), col("__carriedIn")))
+    val out = probeCols.map(col) ++ Seq(
+      col("__match")("__t").as(prefix + "time")) ++
+      attachCols.map(c => col("__match")(prefix + c).as(prefix + c))
+    joined.select(out: _*)
+  }
+
   /** Left as-of join.
     *
     * @param probes   left side; one output row per probe row
