@@ -69,7 +69,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val bigCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val smallCores = math.max(1, bigCores / 4)
-    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "6000000").toLong
+    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "12000000").toLong
 
     // --- part 1: headline testdata queries at full parallelism -------------
     val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")

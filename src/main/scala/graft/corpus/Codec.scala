@@ -65,11 +65,21 @@ object Codec {
     else 10.0 * math.log10(255.0 * 255.0 / mse)
   }
 
-  /** Deterministic pixel function: pixel (x,y) of image i under seed.
-    * Smooth-ish gradient + hashed noise so phash is non-degenerate.
+  /** Encode ALREADY-STORED pixel values (raw payload for `raw`; values
+    * pre-quantized in place for `lq`) — the allocation-lean twin of
+    * [[encode]] for scratch-buffer generation. Only the payload byte array
+    * is allocated.
     */
-  def pixels(seed: Long, imageIdx: Long, w: Int, h: Int): Array[Int] = {
-    val out = new Array[Int](w * h)
+  def encodeStored(stored: Array[Int], n: Int, fmt: String): Array[Byte] = {
+    val out = new Array[Byte](n + 1)
+    out(0) = if (fmt == FmtRaw) MagicRaw else MagicLq
+    var i = 0
+    while (i < n) { out(i + 1) = stored(i).toByte; i += 1 }
+    out
+  }
+
+  /** [[pixels]] into a caller-provided scratch buffer (capacity >= w*h). */
+  def pixelsInto(seed: Long, imageIdx: Long, w: Int, h: Int, out: Array[Int]): Unit = {
     val base = Rng.hash(seed, imageIdx, 1)
     var y = 0
     while (y < h) {
@@ -82,6 +92,14 @@ object Codec {
       }
       y += 1
     }
+  }
+
+  /** Deterministic pixel function: pixel (x,y) of image i under seed.
+    * Smooth-ish gradient + hashed noise so phash is non-degenerate.
+    */
+  def pixels(seed: Long, imageIdx: Long, w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h)
+    pixelsInto(seed, imageIdx, w, h, out)
     out
   }
 }

@@ -39,6 +39,20 @@ class CorpusSpec extends AnyFunSuite {
       a.phash == b.phash && a.bytes.sameElements(b.bytes))
   }
 
+  test("scratch-buffer fast path is byte-identical to the pure generator") {
+    val p = Corpus.Params(rows = 500)
+    val scratch = new Array[Int](p.sizes.max * p.sizes.max)
+    for (i <- 0L until 500L) {
+      val pure = Corpus.imageRow(p, i)
+      val fast = Corpus.imageRowFast(p, i, scratch)
+      assert(pure.image_id == fast.image_id)
+      assert(pure.bytes.sameElements(fast.bytes), s"bytes differ at $i")
+      assert(pure.phash == fast.phash, s"phash differs at $i")
+      assert(pure.caption == fast.caption && pure.w == fast.w &&
+        pure.h == fast.h && pure.fmt == fast.fmt)
+    }
+  }
+
   test("event times are monotone non-decreasing per entity and contain dups") {
     val p = Corpus.Params(rows = 3000)
     val rows = (0L until p.rows).map { i =>
