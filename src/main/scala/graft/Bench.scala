@@ -48,28 +48,37 @@ object Bench {
     * honest steady-state estimate.
     */
   private def corpusRun(spark: SparkSession, rows: Long, parts: Int,
-      reps: Int = 3): (Double, Long) = {
+      reps: Int = 3): (Double, Long, Long) = {
     val p = Corpus.Params(rows = rows, entities = math.max(64, (rows / 2000).toInt),
       partitions = parts)
     var best = Double.MaxValue
     var n = 0L
+    var digest = 0L
     for (_ <- 0 until reps) {
       val ev = Corpus.events(spark, p)
       val dim = Corpus.dimFeatures(spark, p.seed)
       val ed = FeaturePipeline.entityDim(spark, p.entities)
       val t0 = System.nanoTime()
-      n = FeaturePipeline.features(ev, dim, ed)
-        .select("entity_id").count() // full pipeline materialization
+      // honest sink: hash-aggregate over EVERY output column so no feature
+      // computation can be pruned away (count(entity_id) alone would let
+      // Catalyst drop unused window expressions)
+      val f = FeaturePipeline.features(ev, dim, ed)
+      import org.apache.spark.sql.functions._
+      val rowHash = f.columns.map(c => xxhash64(col(c))).reduce(_ bitwiseXOR _)
+      val agg = f.select(rowHash.as("__h"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("digest")).head()
+      n = agg.getLong(0)
+      digest = agg.getLong(1)
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
     }
-    (best, n)
+    (best, n, digest)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val bigCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val smallCores = math.max(1, bigCores / 4)
-    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "12000000").toLong
+    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "8000000").toLong
 
     // --- part 1: headline testdata queries at full parallelism -------------
     val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -91,12 +100,12 @@ object Bench {
     // --- part 2: corpus feature throughput at 4N, then N -------------------
     // warm-up JIT/codegen at small size (excluded from timing)
     corpusRun(spark, 50000, bigCores, reps = 1)
-    val (tBig, rowsOut) = corpusRun(spark, corpusRows, bigCores * 4)
+    val (tBig, rowsOut, digBig) = corpusRun(spark, corpusRows, bigCores * 4)
     spark.stop()
 
     val sparkSmall = session(smallCores)
     corpusRun(sparkSmall, 50000, smallCores, reps = 1)
-    val (tSmall, _) = corpusRun(sparkSmall, corpusRows, smallCores * 4)
+    val (tSmall, _, digSmall) = corpusRun(sparkSmall, corpusRows, smallCores * 4)
     sparkSmall.stop()
 
     val thrBig = rowsOut / tBig
@@ -110,7 +119,7 @@ object Bench {
         f""""corpus_rows":$corpusRows,"feature_rows":$rowsOut,""" +
         f""""sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
         f""""rows_per_sec_small":${thrSmall.toLong},"rows_per_sec_big":${thrBig.toLong},""" +
-        f""""efficiency":$efficiency%.3f}"""
+        f""""efficiency":$efficiency%.3f,"digest_match":${digBig == digSmall}}"""
     val total = results.map(_._2).sum + tBig + tSmall
     val json =
       f"""{"metric":"feature_rows_per_sec","value":${thrBig.toLong},"unit":"rows/sec","total_sec":$total%.1f,"queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
@@ -134,7 +143,10 @@ object Bench {
          |
          |Scaling efficiency local[$smallCores] -> local[$bigCores]
          |(speedup / ${bigCores / smallCores}) = ${f"$efficiency%.3f"}
-         |(target >= 0.8 per BASELINE.json).
+         |(target >= 0.8 per BASELINE.json). Output digests at the two levels
+         |${if (digBig == digSmall) "MATCH" else "DIFFER"} (order-insensitive
+         |bit_xor of per-row xxhash64 over every feature column — the
+         |parallelism-independence/allclose evidence).
          |
          |Headline testdata queries ($sfDir), seconds:
          |

@@ -65,21 +65,47 @@ object FeaturePipeline {
     val withTopic = events.join(broadcast(entDim), Seq("entity_id"), "left")
 
     // --- scalar caption + dim-token features (projection only) -------------
+    // ONE traversal of the token array computes every token-derived feature.
+    // The naive formulation (each feature re-tokenizing the caption and
+    // checking stopwords via 30 isin string-compares) dominated pipeline CPU;
+    // here each token costs two hash-map probes. The accumulator struct is
+    // aliased once ("__tf") — CollapseProject keeps non-cheap aliases with
+    // multiple references un-inlined, so it is evaluated once per row.
+    val stopMap = typedLit(stop.map(_ -> true).toMap)
     val toks = Text.tokens(col("caption"))
-    val keys = transform(toks, t => concat(coalesce(col("topic"), lit("")), lit("#"), t))
-    val matched = filter(keys, k => map_contains_key(rankLit, k))
+    val zero = struct(lit(0).as("n"), lit(0).as("sw"), lit(0).as("dm"),
+      lit(Int.MaxValue).as("dmr"), lit(0.0).as("dss"))
+    val tf = aggregate(toks, zero, (a, t) => {
+      val key = concat(coalesce(col("topic"), lit("")), lit("#"), t)
+      val hasDim = map_contains_key(rankLit, key)
+      struct(
+        (a("n") + 1).as("n"),
+        (a("sw") + when(map_contains_key(stopMap, t), 1).otherwise(0)).as("sw"),
+        (a("dm") + when(hasDim, 1).otherwise(0)).as("dm"),
+        least(a("dmr"), when(hasDim, element_at(rankLit, key))
+          .otherwise(Int.MaxValue)).as("dmr"),
+        (a("dss") + when(hasDim, element_at(scoreLit, key)).otherwise(0.0)).as("dss"))
+    })
+    // quality formula mirrors Text.qualityScore exactly (golden-spec'd)
+    val nD = col("__tf")("n").cast("double")
+    val swr = when(col("__tf")("n") > 0, col("__tf")("sw") / nD).otherwise(lit(0.0))
+    val lenScore = least(nD / lit(8.0), lit(1.0))
+    val punct = Text.punctRatio(col("caption"))
+    val swScore = lit(1.0) - abs(swr - lit(0.35)) / lit(0.65)
     val scalar = withTopic
-      .withColumn("token_count", Text.tokenCount(col("caption")))
+      .withColumn("__tf", tf)
+      .withColumn("token_count", col("__tf")("n").cast("long"))
       .withColumn("caption_len", length(col("caption")).cast("long"))
-      .withColumn("stopword_ratio", round(Text.stopwordRatio(col("caption"), stop), 6))
-      .withColumn("quality", Text.qualityScore(col("caption"), stop))
-      .withColumn("dim_matched", size(matched).cast("long"))
+      .withColumn("stopword_ratio", round(swr, 6))
+      .withColumn("quality", round(greatest(lit(0.0), least(lit(1.0),
+        lenScore * lit(0.4) + (lit(1.0) - punct) * lit(0.3) + swScore * lit(0.3))), 6))
+      .withColumn("dim_matched", col("__tf")("dm").cast("long"))
       .withColumn("dim_min_rank",
-        when(size(matched) > 0, array_min(transform(matched, k => element_at(rankLit, k)))))
-      .withColumn("dim_score_sum",
-        round(aggregate(matched, lit(0.0), (acc, k) => acc + element_at(scoreLit, k)), 6))
+        when(col("__tf")("dm") > 0, col("__tf")("dmr")))
+      .withColumn("dim_score_sum", round(col("__tf")("dss"), 6))
       // a sparsely-populated signal to demonstrate rolling backfill
       .withColumn("sparse_quality", when(col("token_count") >= 6, col("quality")))
+      .drop("__tf")
 
     // --- one shared window layout for every temporal feature ---------------
     val w = Window.partitionBy(col("entity_id")).orderBy(col("event_ms"), col("seq"))
