@@ -78,7 +78,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val bigCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val smallCores = math.max(1, bigCores / 4)
-    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "8000000").toLong
+    val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "6000000").toLong
 
     // --- part 1: headline testdata queries at full parallelism -------------
     val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -99,13 +99,13 @@ object Bench {
 
     // --- part 2: corpus feature throughput at 4N, then N -------------------
     // warm-up JIT/codegen at small size (excluded from timing)
-    corpusRun(spark, 50000, bigCores, reps = 1)
+    corpusRun(spark, 200000, bigCores, reps = 1)
     val (tBig, rowsOut, digBig) = corpusRun(spark, corpusRows, bigCores * 4)
     spark.stop()
 
     val sparkSmall = session(smallCores)
-    corpusRun(sparkSmall, 50000, smallCores, reps = 1)
-    val (tSmall, _, digSmall) = corpusRun(sparkSmall, corpusRows, smallCores * 4)
+    corpusRun(sparkSmall, 200000, smallCores, reps = 1)
+    val (tSmall, _, digSmall) = corpusRun(sparkSmall, corpusRows, smallCores * 4, reps = 2)
     sparkSmall.stop()
 
     val thrBig = rowsOut / tBig

@@ -66,26 +66,41 @@ object FeaturePipeline {
 
     // --- scalar caption + dim-token features (projection only) -------------
     // ONE traversal of the token array computes every token-derived feature.
-    // The naive formulation (each feature re-tokenizing the caption and
-    // checking stopwords via 30 isin string-compares) dominated pipeline CPU;
-    // here each token costs two hash-map probes. The accumulator struct is
-    // aliased once ("__tf") — CollapseProject keeps non-cheap aliases with
-    // multiple references un-inlined, so it is evaluated once per row.
-    val stopMap = typedLit(stop.map(_ -> true).toMap)
-    val toks = Text.tokens(col("caption"))
-    val zero = struct(lit(0).as("n"), lit(0).as("sw"), lit(0).as("dm"),
-      lit(Int.MaxValue).as("dmr"), lit(0.0).as("dss"))
-    val tf = aggregate(toks, zero, (a, t) => {
-      val key = concat(coalesce(col("topic"), lit("")), lit("#"), t)
-      val hasDim = map_contains_key(rankLit, key)
-      struct(
-        (a("n") + 1).as("n"),
-        (a("sw") + when(map_contains_key(stopMap, t), 1).otherwise(0)).as("sw"),
-        (a("dm") + when(hasDim, 1).otherwise(0)).as("dm"),
-        least(a("dmr"), when(hasDim, element_at(rankLit, key))
-          .otherwise(Int.MaxValue)).as("dmr"),
-        (a("dss") + when(hasDim, element_at(scoreLit, key)).otherwise(0.0)).as("dss"))
+    // Two prior formulations were benchmarked and rejected:
+    //  (a) per-feature Column expressions: each feature re-tokenized the
+    //      caption and checked stopwords with 30 isin string compares;
+    //  (b) a single aggregate() HOF with typedLit(Map) lookups: Catalyst map
+    //      LITERALS are ArrayBasedMapData — map_contains_key/element_at do a
+    //      LINEAR SCAN (O(|dim|) string compares per probe), ~7 ms/row.
+    // A typed UDF with closure-captured Scala HashMaps does O(1) probes per
+    // token; this is the documented exception to the expressions-first
+    // policy (SURVEY §2.12), justified by measurement. Tokenization matches
+    // Text.tokens (trim + split \s+ + drop empties) — golden-spec'd.
+    val stopSet = stop.toSet
+    val tfUdf = udf((topic: String, caption: String) => {
+      val toks =
+        if (caption == null) Array.empty[String]
+        else caption.trim.split("\\s+").filter(_.nonEmpty)
+      var n = 0; var sw = 0; var dm = 0; var dmr = Int.MaxValue; var dss = 0.0
+      val tp = if (topic == null) "" else topic
+      toks.foreach { t =>
+        n += 1
+        if (stopSet(t)) sw += 1
+        val key = tp + "#" + t
+        rankMap.get(key) match {
+          case Some(r) =>
+            dm += 1
+            if (r < dmr) dmr = r
+            dss += scoreMap(key)
+          case None =>
+        }
+      }
+      (n, sw, dm, dmr, dss)
     })
+    // (CollapseProject never duplicates non-cheap exprs like UDF calls, so
+    // the single "__tf" alias is evaluated once per row.)
+    val tf = tfUdf(col("topic"), col("caption"))
+      .cast("struct<n:int,sw:int,dm:int,dmr:int,dss:double>")
     // quality formula mirrors Text.qualityScore exactly (golden-spec'd)
     val nD = col("__tf")("n").cast("double")
     val swr = when(col("__tf")("n") > 0, col("__tf")("sw") / nD).otherwise(lit(0.0))
