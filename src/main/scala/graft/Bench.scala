@@ -62,7 +62,7 @@ object Bench {
       // honest sink: hash-aggregate over EVERY output column so no feature
       // computation can be pruned away (count(entity_id) alone would let
       // Catalyst drop unused window expressions)
-      val f = FeaturePipeline.features(ev, dim, ed)
+      val f = FeaturePipeline.featuresSkewSafe(ev, dim, ed, timeBuckets = 128)
       import org.apache.spark.sql.functions._
       val rowHash = f.columns.map(c => xxhash64(col(c))).reduce(_ bitwiseXOR _)
       val agg = f.select(rowHash.as("__h"))

@@ -108,6 +108,36 @@ class GoldenFeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("skew-safe features are equivalent to the plain-window features") {
+    import org.apache.spark.sql.functions._
+    val p = Corpus.Params(rows = 3000, entities = 8) // hot entity + many buckets
+    val ev = Corpus.events(spark, p)
+    val dim = Corpus.dimFeatures(spark, p.seed)
+    val ed = FeaturePipeline.entityDim(spark, p.entities)
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(String, Long), org.apache.spark.sql.Row] =
+      df.collect().map(r => (r.getAs[String]("entity_id"), r.getAs[Long]("seq")) -> r).toMap
+    val plain = FeaturePipeline.features(ev, dim, ed)
+    val safe = FeaturePipeline.featuresSkewSafe(ev, dim, ed, timeBuckets = 13)
+    assert(plain.columns.sorted.sameElements(safe.columns.sorted),
+      s"schemas differ: ${plain.columns.sorted.mkString(",")} vs ${safe.columns.sorted.mkString(",")}")
+    val a = rows(plain)
+    val b = rows(safe)
+    assert(a.keySet == b.keySet)
+    val exactCols = plain.columns.filterNot(c =>
+      c == "running_quality_mean" || c == "event_time").sorted
+    a.keys.foreach { k =>
+      exactCols.foreach { c =>
+        val (x, y) = (a(k).getAs[Any](c), b(k).getAs[Any](c))
+        assert(x == y, s"key=$k col=$c plain=$x skewSafe=$y")
+      }
+      // float summation order differs across bucket boundaries; values are
+      // rounded to 6dp, so a boundary case may flip by one grid step
+      val (qx, qy) = (a(k).getAs[Double]("running_quality_mean"),
+        b(k).getAs[Double]("running_quality_mean"))
+      assert(math.abs(qx - qy) <= 1.5e-6, s"key=$k running_quality_mean $qx vs $qy")
+    }
+  }
+
   test("captions are byte-equal end to end (input_hint invariant)") {
     val imgs = Corpus.images(spark, P).collect()
     imgs.foreach { r =>
