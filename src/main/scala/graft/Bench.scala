@@ -36,6 +36,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // shuffle to tmpfs: this box's scratch disk is the one resource a real
+      // multi-executor cluster would NOT share across executors; leaving the
+      // shuffle on it makes N-vs-4N local measurements disk-bound (verified
+      // with stack sampling: FileChannel write/map dominated worker time)
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -62,7 +67,7 @@ object Bench {
       // honest sink: hash-aggregate over EVERY output column so no feature
       // computation can be pruned away (count(entity_id) alone would let
       // Catalyst drop unused window expressions)
-      val f = FeaturePipeline.featuresSkewSafe(ev, dim, ed, timeBuckets = 128)
+      val f = FeaturePipeline.features(ev, dim, ed)
       import org.apache.spark.sql.functions._
       val rowHash = f.columns.map(c => xxhash64(col(c))).reduce(_ bitwiseXOR _)
       val agg = f.select(rowHash.as("__h"))
@@ -100,12 +105,12 @@ object Bench {
     // --- part 2: corpus feature throughput at 4N, then N -------------------
     // warm-up JIT/codegen at small size (excluded from timing)
     corpusRun(spark, 200000, bigCores, reps = 1)
-    val (tBig, rowsOut, digBig) = corpusRun(spark, corpusRows, bigCores * 4)
+    val (tBig, rowsOut, digBig) = corpusRun(spark, corpusRows, bigCores * 4, reps = 4)
     spark.stop()
 
     val sparkSmall = session(smallCores)
     corpusRun(sparkSmall, 200000, smallCores, reps = 1)
-    val (tSmall, _, digSmall) = corpusRun(sparkSmall, corpusRows, smallCores * 4, reps = 2)
+    val (tSmall, _, digSmall) = corpusRun(sparkSmall, corpusRows, smallCores * 4, reps = 4)
     sparkSmall.stop()
 
     val thrBig = rowsOut / tBig

@@ -194,6 +194,10 @@ object FeaturePipeline {
         col("__lrn") - last(when(col("__lnew") === 1L, col("__lrn")), ignoreNulls = true).over(w1Run))
       .withColumn("__lqsum", sum(col("quality")).over(w1Run))
       .withColumn("__lfilled", last(col("sparse_quality"), ignoreNulls = true).over(w1Run))
+      // phase-1 output feeds BOTH the summary and the final merge; without a
+      // persist the whole upstream (source + scalar features + window) runs
+      // twice. On a cluster this is a natural stage-output reuse point.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // --- per-bucket summary (|entities| x buckets rows — tiny) --------------
     val summary = local.groupBy(col("entity_id"), col("__bkt"))
