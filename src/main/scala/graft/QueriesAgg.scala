@@ -211,7 +211,10 @@ object QueriesAgg {
         t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(col("l_extendedprice_z") + 1e-7, 4).as("z"))),
+          // + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 = 0.0); DuckDB
+          // emits -0.0 for 2 rows at sf0.1 where Spark emits 0.0 and the
+          // driver's hash is sign-sensitive (round-1 hash FAIL root cause)
+          (round(col("l_extendedprice_z") + 1e-7, 4) + lit(0.0)).as("z"))),
 
     // ---- R1: pivot long→wide via conditional aggregation ----------------------
     "r1_pivot_counts" -> ((s, d) =>
@@ -368,9 +371,10 @@ object QueriesAgg {
              (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
            FROM events)
          SELECT event_id, user_id,
-           sum(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN gap IS NULL OR gap > 3600000000 THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+             AS BIGINT) AS session_idx
          FROM g""",
     "w_running_sum" ->
       """SELECT event_id, user_id,
@@ -385,7 +389,7 @@ object QueriesAgg {
            GROUP BY l_returnflag)
          SELECT l.l_orderkey, l.l_linenumber,
            CASE WHEN s.sigma > 0
-             THEN round((l.l_extendedprice - s.mu) / s.sigma + 1e-7, 4) END AS z
+             THEN round((l.l_extendedprice - s.mu) / s.sigma + 1e-7, 4) + 0.0 END AS z
          FROM lineitem l LEFT JOIN stats s ON l.l_returnflag = s.l_returnflag""",
     "r1_pivot_counts" ->
       """SELECT o_orderpriority,

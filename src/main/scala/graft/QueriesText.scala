@@ -200,10 +200,14 @@ object QueriesText {
          sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
          dfreq AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
          rare AS (SELECT g.doc_id, g.gram FROM grams g
-                  JOIN dfreq USING (gram) WHERE df <= 20),
-         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                   FROM rare a JOIN rare b ON a.gram = b.gram
-                   WHERE a.doc_id < b.doc_id),
+                  JOIN dfreq USING (gram) WHERE df <= 20 AND df > 1),
+         shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
+                    FROM rare a JOIN rare b ON a.gram = b.gram
+                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM shared
+                   JOIN sizes psa ON psa.doc_id = id_a
+                   JOIN sizes psb ON psb.doc_id = id_b
+                   WHERE ns >= least(2, psa.sz, psb.sz)),
          inter AS (SELECT p.id_a, p.id_b, count(*) AS i
                    FROM pairs p
                    JOIN grams ga ON ga.doc_id = p.id_a

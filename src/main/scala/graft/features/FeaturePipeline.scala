@@ -31,6 +31,18 @@ import graft.operators.AsOf
   */
 object FeaturePipeline {
 
+  /** Phase-1 DataFrames persisted by [[featuresSkewSafe]]. Callers own the
+    * cache lifecycle: call [[releaseCaches]] once the skew-safe output has
+    * been fully materialized (Bench does, after each rep) — otherwise
+    * repeated invocations in one session accumulate cached blocks.
+    */
+  private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  def releaseCaches(): Unit = synchronized {
+    caches.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    caches.clear()
+  }
+
   /** Tiny per-entity metadata table: entity → topic assignment (broadcast). */
   def entityDim(spark: SparkSession, entities: Int, topics: Int = 5): DataFrame = {
     import spark.implicits._
@@ -197,7 +209,9 @@ object FeaturePipeline {
       // phase-1 output feeds BOTH the summary and the final merge; without a
       // persist the whole upstream (source + scalar features + window) runs
       // twice. On a cluster this is a natural stage-output reuse point.
+      // Registered in `caches`; callers release via releaseCaches().
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized { caches += local }
 
     // --- per-bucket summary (|entities| x buckets rows — tiny) --------------
     val summary = local.groupBy(col("entity_id"), col("__bkt"))

@@ -89,8 +89,12 @@ object AsOf {
     def bucketOf(t: Column): Column = ((t.cast("long") - lit(lo)) / lit(span)).cast("int")
 
     val tieCol = tie.map(col).getOrElse(lit(0L)).cast("long")
+    // __origt keeps the event time in its ORIGINAL type (the long __t is for
+    // ordering/bucketing only) so the output schema and values are identical
+    // to [[join]]'s on timestamp-typed inputs
     val evStruct = struct(
       (col(eventTime).cast("long").as("__t") +: tieCol.as("__tie") +:
+        col(eventTime).as("__origt") +:
         attachCols.map(c => col(c).as(prefix + c))): _*)
     val ev = events.select(col(entity), bucketOf(col(eventTime)).as("__bkt"),
       evStruct.as("__ev"))
@@ -137,7 +141,7 @@ object AsOf {
     val joined = within.join(probeCarry, Seq(entity, "__bkt"), "left")
       .withColumn("__match", coalesce(col("__inMatch"), col("__carriedIn")))
     val out = probeCols.map(col) ++ Seq(
-      col("__match")("__t").as(prefix + "time")) ++
+      col("__match")("__origt").as(prefix + "time")) ++
       attachCols.map(c => col("__match")(prefix + c).as(prefix + c))
     joined.select(out: _*)
   }

@@ -114,8 +114,13 @@ object SnapshotTable {
       parent.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
     val newId = parent.map(_.id + 1).getOrElse(0L)
 
-    val changed = man.filter { case (k, (_, _, dg)) =>
-      !parentBuckets.get(k).exists(_.digest == dg)
+    // a bucket is unchanged only if digest AND row count AND watermark all
+    // match the parent manifest: bit_xor alone cancels pairs, so adding two
+    // identical rows (exact duplicates are central to this corpus) would
+    // otherwise leave the digest unchanged and silently drop the new rows
+    val changed = man.filter { case (k, (rows, wm, dg)) =>
+      !parentBuckets.get(k).exists(b =>
+        b.digest == dg && b.rows == rows && b.watermark == wm)
     }.keys.toSeq.sorted
 
     // unique staging dir per attempt: a killed previous attempt never

@@ -98,6 +98,81 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.get((0L, 30L)).exists(j => math.abs(j - 1.0) < 1e-9))
   }
 
+  /** Edge-case texts: null, empty, whitespace-only, short (< n tokens),
+    * exactly n tokens, duplicate grams, tabs/multi-space, unicode.
+    */
+  private val edgeTexts: Seq[(Long, String)] = Seq(
+    (0L, null), (1L, ""), (2L, "   \t  "), (3L, "one"), (4L, "one two"),
+    (5L, "one two three"), (6L, "one two three"), // planted single-gram dup
+    (7L, "a b a b a b a b"), (8L, "héllo wörld çafe naïve tokens here"),
+    (9L, "w1  w2\tw3\nw4 w5 w6 w7"))
+
+  test("fastTokens matches Text.tokens on edge cases") {
+    val d = edgeTexts.toDF("doc_id", "text")
+    val viaExpr = d.select(col("doc_id"), graft.functions.Text.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1)).map(_.toList)).toMap
+    edgeTexts.foreach { case (id, t) =>
+      val fast = Dedup.fastTokens(t).toList
+      val expr = viaExpr(id).getOrElse(Nil) // null text -> null array == no tokens
+      assert(fast == expr, s"doc $id: fast=$fast expr=$expr")
+    }
+  }
+
+  test("minhashSignatureFast is bit-identical to the HOF reference formulation") {
+    val d = (docs(25, 31L) ++ edgeTexts).toDF("doc_id", "text")
+    val hof = d.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.tokenGrams(col("text"), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toList).getOrElse(List.fill(16)(Long.MaxValue)))
+      .toMap
+    val fast = d.select(col("doc_id"),
+      Dedup.minhashSignatureFast(3, 16)(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    hof.keys.foreach(id => assert(fast(id) == hof(id), s"doc $id signature differs"))
+  }
+
+  test("simhashFast is bit-identical to the HOF reference formulation") {
+    val d = (docs(25, 37L) ++ edgeTexts).toDF("doc_id", "text")
+    val hof = d.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = d.select(col("doc_id"), Dedup.simhashFast(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == hof)
+  }
+
+  test("ngramJaccard survives short/empty/null docs and keeps single-gram dups") {
+    val d = edgeTexts.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", n = 3, minJaccard = 0.5,
+      maxDf = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the planted identical 3-token docs (one gram each) must be found
+    assert(got.get((5L, 6L)).exists(j => math.abs(j - 1.0) < 1e-9), s"got=$got")
+  }
+
+  test("ngramJaccard candidate bounding does not change the output") {
+    // ground truth: ALL pairs sharing >= 1 rare gram (the round-1 blocking),
+    // computed driver-side — the tightened >=min(2,|A|,|B|)-shared blocking
+    // must produce exactly the same final pair set
+    val data = docs(60, 41L) ++ Seq((200L, "x1 x2 x3"), (201L, "x1 x2 x3"))
+    def grams(s: String) = s.trim.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val g = data.map { case (id, t) => id -> grams(t) }.toMap
+    val dfreq = g.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val rare = g.map { case (id, gs) => id -> gs.filter(x => dfreq(x) <= 20) }
+    val want = (for {
+      a <- data.map(_._1); b <- data.map(_._1) if a < b
+      if rare(a).intersect(rare(b)).nonEmpty
+      j = { val i = g(a).intersect(g(b)).size
+            if (g(a).isEmpty && g(b).isEmpty) 0.0
+            else i.toDouble / (g(a).size + g(b).size - i) }
+      if j >= 0.5
+    } yield (a, b)).toSet
+    val got = Dedup.ngramJaccard(data.toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, minJaccard = 0.5, maxDf = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   /** Deterministic embeddings with planted clusters. */
   private def vecs(n: Int, dims: Int, seed: Long): Seq[(Long, Array[Float])] =
     (0 until n).map { i =>
