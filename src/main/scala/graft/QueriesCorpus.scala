@@ -9,24 +9,59 @@ import graft.multimodal.Multimodal
 import graft.operators.AsOf
 
 /** Queries over the synthesized image+caption corpus (the `input_hint`
-  * table). These exercise the engine's flagship path and the multimodal
-  * binary plumbing; they are independent of the sfDir testdata and have no
-  * SQL oracle (driver records rows-only) — their correctness gates are the
-  * ScalaTest suites (leakage, codec/PSNR, phash recomputation, determinism).
+  * table), exercising the engine's flagship path and the multimodal binary
+  * plumbing.
+  *
+  * Oracle strategy (mirrors the reference's cross-implementation
+  * replication discipline, `code/crossvalidate.R:31-43`): the synthesized
+  * INPUT tables (events minus payload bytes, probes, dim, entity dim) are
+  * dumped once to parquet under a fixed path, and the flagship outputs —
+  * scalar+temporal feature vectors and the as-of attach — are recomputed
+  * START-TO-FINISH in DuckDB SQL over those dumps (window functions, list
+  * lambdas for token features, ASOF LEFT JOIN). Only the hash-based
+  * signatures (xxhash64) and the binary codec remain ScalaTest-only.
   */
 object QueriesCorpus {
 
   private val P = Corpus.Params(rows = 2000L, entities = 20)
 
+  /** Fixed absolute dump path — referenced literally by the oracle SQL. */
+  private val D = "/root/repo/target/graft_corpus"
+
+  @volatile private var dumped = false
+
+  /** Dump the synthesized input tables once per JVM (idempotent overwrite).
+    * Every corpus query calls this so the oracle SQL (run by the driver
+    * AFTER the Spark outputs are written) always finds the tables.
+    */
+  private def ensureDump(s: SparkSession): Unit = synchronized {
+    if (!dumped) {
+      Corpus.events(s, P).drop("bytes")
+        .coalesce(1).write.mode("overwrite").parquet(s"$D/events.parquet")
+      Corpus.probes(s, P)
+        .coalesce(1).write.mode("overwrite").parquet(s"$D/probes.parquet")
+      Corpus.dimFeatures(s, P.seed)
+        .coalesce(1).write.mode("overwrite").parquet(s"$D/dim.parquet")
+      FeaturePipeline.entityDim(s, P.entities)
+        .coalesce(1).write.mode("overwrite").parquet(s"$D/entdim.parquet")
+      dumped = true
+    }
+  }
+
+  private def events5(s: SparkSession): DataFrame =
+    Corpus.events(s, P).select("entity_id", "event_ms", "seq", "phash", "caption")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // flagship: per-entity×timestamp feature vectors attached to as-of probes
-    "corpus_flagship_asof" -> ((s, _) => FeaturePipeline.flagship(s, P)),
+    "corpus_flagship_asof" -> ((s, _) => { ensureDump(s); FeaturePipeline.flagship(s, P) }),
 
-    // the raw feature-vector table itself
+    // the raw feature-vector table itself — via the SKEW-SAFE variant, so the
+    // scale path (two-phase prefix-scan windows) gets the cross-engine oracle
     "corpus_feature_vectors" -> ((s, _) => {
+      ensureDump(s)
       val ev = Corpus.events(s, P)
-      FeaturePipeline.features(ev, Corpus.dimFeatures(s, P.seed),
+      FeaturePipeline.featuresSkewSafe(ev, Corpus.dimFeatures(s, P.seed),
         FeaturePipeline.entityDim(s, P.entities))
         .drop("event_time")
     }),
@@ -53,9 +88,133 @@ object QueriesCorpus {
 
     // corpus as-of against the probe matrix (edge cases incl. before-first)
     "corpus_probe_asof" -> ((s, _) => {
-      val ev = Corpus.events(s, P).select("entity_id", "event_ms", "seq", "phash", "caption")
-      AsOf.join(Corpus.probes(s, P), ev, "entity_id", "probe_ms", "event_ms",
-        tie = Some("seq"))
+      ensureDump(s)
+      AsOf.join(Corpus.probes(s, P), events5(s), "entity_id", "probe_ms",
+        "event_ms", tie = Some("seq"))
+    }),
+
+    // same probe matrix through the SKEW-SAFE as-of (bucketed merge) — same
+    // oracle, so the scale variant is cross-engine-verified too
+    "corpus_probe_asof_skew" -> ((s, _) => {
+      ensureDump(s)
+      AsOf.joinSkewSafe(Corpus.probes(s, P), events5(s), "entity_id",
+        "probe_ms", "event_ms", tie = Some("seq"))
     })
+  )
+
+  /** 30 stopwords as a DuckDB list literal (kept in sync with Corpus.Stopwords). */
+  private val sw: String =
+    Corpus.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The full flagship feature computation as DuckDB CTEs ending in `feats`.
+    * Mirrors FeaturePipeline.scalarFeatures + features exactly: token stats
+    * via list lambdas, dim lookups via an explode + left join + re-agg,
+    * temporal features via window functions over (entity_id; event_ms, seq).
+    * Epsilon-rounding (+1.7e-8) on the two order-sensitive double sums matches
+    * the Spark side (see FeaturePipeline).
+    */
+  private val featsSql: String =
+    s"""WITH ev AS (SELECT * FROM read_parquet('$D/events.parquet/*.parquet')),
+       |ed AS (SELECT * FROM read_parquet('$D/entdim.parquet/*.parquet')),
+       |dimt AS (SELECT * FROM read_parquet('$D/dim.parquet/*.parquet')),
+       |base AS (
+       |  SELECT ev.image_id, ev.w, ev.h, ev.phash, ev.entity_id, ev.event_ms,
+       |         ev.seq, ev.caption, ed.topic,
+       |         list_filter(string_split_regex(trim(ev.caption), '\\s+'), x -> x <> '') AS tk
+       |  FROM ev LEFT JOIN ed USING (entity_id)),
+       |tokrows AS (SELECT image_id, topic, unnest(tk) AS token FROM base),
+       |dimagg AS (
+       |  SELECT t.image_id, count(d.rank) AS dm, min(d.rank) AS dmr,
+       |         coalesce(sum(d.score), 0.0) AS dss
+       |  FROM tokrows t LEFT JOIN dimt d ON d.topic = t.topic AND d.token = t.token
+       |  GROUP BY t.image_id),
+       |qual AS (
+       |  SELECT b.*,
+       |    CASE WHEN len(b.tk) > 0 THEN
+       |      CAST(len(list_filter(b.tk, x -> list_contains($sw, x))) AS DOUBLE) / len(b.tk)
+       |      ELSE 0.0 END AS swr,
+       |    least(CAST(len(b.tk) AS DOUBLE) / 8.0, 1.0) AS len_score,
+       |    CASE WHEN length(b.caption) > 0 THEN
+       |      CAST(length(regexp_replace(b.caption, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+       |        / length(b.caption) ELSE 0.0 END AS punct
+       |  FROM base b),
+       |scal AS (
+       |  SELECT q.image_id, q.w, q.h, q.phash, q.entity_id, q.event_ms, q.seq, q.topic,
+       |    CAST(len(q.tk) AS BIGINT) AS token_count,
+       |    CAST(length(q.caption) AS BIGINT) AS caption_len,
+       |    round(q.swr, 6) AS stopword_ratio,
+       |    round(greatest(0.0, least(1.0,
+       |      q.len_score * 0.4 + (1.0 - q.punct) * 0.3
+       |        + (1.0 - abs(q.swr - 0.35) / 0.65) * 0.3)), 6) AS quality,
+       |    CAST(coalesce(da.dm, 0) AS BIGINT) AS dim_matched,
+       |    CAST(da.dmr AS INTEGER) AS dim_min_rank,
+       |    round(coalesce(da.dss, 0.0) + 1.7e-8, 6) AS dim_score_sum
+       |  FROM qual q LEFT JOIN dimagg da USING (image_id)),
+       |scal2 AS (
+       |  SELECT s.*, CASE WHEN s.token_count >= 6 THEN s.quality END AS sparse_quality
+       |  FROM scal s),
+       |lagf AS (
+       |  SELECT s.*,
+       |    s.event_ms - lag(s.event_ms) OVER w AS dt_prev_ms,
+       |    CAST(bit_count(xor(s.phash, lag(s.phash) OVER w)) AS INTEGER) AS phash_prev_hamming,
+       |    row_number() OVER w AS rn
+       |  FROM scal2 s WINDOW w AS (PARTITION BY s.entity_id ORDER BY s.event_ms, s.seq)),
+       |sessf AS (
+       |  SELECT l.*, CASE WHEN l.dt_prev_ms IS NULL OR l.dt_prev_ms > 1800000
+       |    THEN 1 ELSE 0 END AS newsess
+       |  FROM lagf l),
+       |feats AS (
+       |  SELECT f.image_id, f.w, f.h, f.phash, f.entity_id, f.event_ms, f.seq,
+       |    f.topic, f.token_count, f.caption_len, f.stopword_ratio, f.quality,
+       |    f.dim_matched, f.dim_min_rank, f.dim_score_sum, f.sparse_quality,
+       |    f.dt_prev_ms, f.phash_prev_hamming,
+       |    CAST(sum(f.newsess) OVER wr - 1 AS BIGINT) AS session_idx,
+       |    CAST(f.rn - last_value(CASE WHEN f.newsess = 1 THEN f.rn END IGNORE NULLS)
+       |      OVER wr AS INTEGER) AS session_pos,
+       |    last_value(f.sparse_quality IGNORE NULLS) OVER wr AS quality_filled,
+       |    round(avg(f.quality) OVER wr + 1.7e-8, 6) AS running_quality_mean
+       |  FROM sessf f WINDOW wr AS (PARTITION BY f.entity_id
+       |    ORDER BY f.event_ms, f.seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |""".stripMargin
+
+  /** As-of oracle over raw events: DuckDB's native ASOF LEFT JOIN, with the
+    * engine's tie rule (greatest seq wins at equal event_ms) applied by
+    * pre-deduping to the max-seq row per (entity, event_ms).
+    */
+  private val probeAsofSql: String =
+    s"""WITH evd AS (
+       |  SELECT entity_id, event_ms, seq, phash, caption,
+       |    row_number() OVER (PARTITION BY entity_id, event_ms ORDER BY seq DESC) AS mrn
+       |  FROM read_parquet('$D/events.parquet/*.parquet')),
+       |ev1 AS (SELECT entity_id, event_ms, seq, phash, caption FROM evd WHERE mrn = 1),
+       |p AS (SELECT * FROM read_parquet('$D/probes.parquet/*.parquet'))
+       |SELECT p.entity_id, p.probe_ms, p.probe_time,
+       |  e.event_ms AS asof_time, e.seq AS asof_seq, e.phash AS asof_phash,
+       |  e.caption AS asof_caption
+       |FROM p ASOF LEFT JOIN ev1 e
+       |  ON p.entity_id = e.entity_id AND p.probe_ms >= e.event_ms""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "corpus_feature_vectors" -> (featsSql + "SELECT * FROM feats"),
+    "corpus_probe_asof" -> probeAsofSql,
+    "corpus_probe_asof_skew" -> probeAsofSql,
+    "corpus_flagship_asof" ->
+      (featsSql +
+        s""", evd AS (
+           |  SELECT f.*, row_number() OVER (PARTITION BY f.entity_id, f.event_ms
+           |    ORDER BY f.seq DESC) AS mrn
+           |  FROM feats f),
+           |ev1 AS (SELECT * FROM evd WHERE mrn = 1),
+           |p AS (SELECT * FROM read_parquet('$D/probes.parquet/*.parquet'))
+           |SELECT p.entity_id, p.probe_ms, p.probe_time,
+           |  e.event_ms AS asof_time, e.seq AS asof_seq, e.image_id AS asof_image_id,
+           |  e.token_count AS asof_token_count, e.quality AS asof_quality,
+           |  e.phash_prev_hamming AS asof_phash_prev_hamming,
+           |  e.session_idx AS asof_session_idx, e.session_pos AS asof_session_pos,
+           |  e.quality_filled AS asof_quality_filled,
+           |  e.running_quality_mean AS asof_running_quality_mean,
+           |  e.dim_matched AS asof_dim_matched, e.dim_score_sum AS asof_dim_score_sum
+           |FROM p ASOF LEFT JOIN ev1 e
+           |  ON p.entity_id = e.entity_id AND p.probe_ms >= e.event_ms""".stripMargin)
   )
 }

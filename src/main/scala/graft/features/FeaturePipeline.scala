@@ -39,9 +39,14 @@ object FeaturePipeline {
   private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   def releaseCaches(): Unit = synchronized {
-    caches.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    // blocking: a lazy unpersist leaves stale blocks competing with the next
+    // invocation's persist for storage memory (measured in-session slowdown)
+    caches.foreach(df => try df.unpersist(blocking = true) catch { case _: Throwable => () })
     caches.clear()
   }
+
+  /** Closure-captured dim-table entry (allocation-free probe in the UDF). */
+  final case class DimEntry(rank: Int, score: Double)
 
   /** Tiny per-entity metadata table: entity → topic assignment (broadcast). */
   def entityDim(spark: SparkSession, entities: Int, topics: Int = 5): DataFrame = {
@@ -58,12 +63,15 @@ object FeaturePipeline {
       entDim: DataFrame): DataFrame = {
 
     // --- the small dimension feature table rides inside the UDF closure ----
-    // (driver-side collect of a SMALL dim only; never of fact data)
+    // (driver-side collect of a SMALL dim only; never of fact data).
+    // Two-level java.util.HashMap: the topic probe is hoisted out of the
+    // token loop and token probes are O(1) with no per-probe key concat.
     val dimRows = dim.select("topic", "token", "rank", "score").collect()
-    val rankMap: Map[String, Int] =
-      dimRows.map(r => s"${r.getString(0)}#${r.getString(1)}" -> r.getInt(2)).toMap
-    val scoreMap: Map[String, Double] =
-      dimRows.map(r => s"${r.getString(0)}#${r.getString(1)}" -> r.getDouble(3)).toMap
+    val byTopic = new java.util.HashMap[String, java.util.HashMap[String, DimEntry]]()
+    dimRows.foreach { r =>
+      byTopic.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, DimEntry]())
+        .put(r.getString(1), DimEntry(r.getInt(2), r.getDouble(3)))
+    }
 
     val stop = Corpus.Stopwords
 
@@ -84,22 +92,21 @@ object FeaturePipeline {
     // Text.tokens (trim + split \s+ + drop empties) — golden-spec'd.
     val stopSet = stop.toSet
     val tfUdf = udf((topic: String, caption: String) => {
-      val toks =
-        if (caption == null) Array.empty[String]
-        else caption.trim.split("\\s+").filter(_.nonEmpty)
+      // fastTokens = exact \s+ tokenizer without per-call Pattern
+      // compilation (golden-spec'd equal to Text.tokens)
+      val toks = graft.operators.Dedup.fastTokens(caption)
       var n = 0; var sw = 0; var dm = 0; var dmr = Int.MaxValue; var dss = 0.0
-      val tp = if (topic == null) "" else topic
-      toks.foreach { t =>
+      val tm = if (topic == null) null else byTopic.get(topic)
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
         n += 1
         if (stopSet(t)) sw += 1
-        val key = tp + "#" + t
-        rankMap.get(key) match {
-          case Some(r) =>
-            dm += 1
-            if (r < dmr) dmr = r
-            dss += scoreMap(key)
-          case None =>
+        if (tm != null) {
+          val e = tm.get(t)
+          if (e != null) { dm += 1; if (e.rank < dmr) dmr = e.rank; dss += e.score }
         }
+        i += 1
       }
       (n, sw, dm, dmr, dss)
     })
@@ -123,7 +130,14 @@ object FeaturePipeline {
       .withColumn("dim_matched", col("__tf")("dm").cast("long"))
       .withColumn("dim_min_rank",
         when(col("__tf")("dm") > 0, col("__tf")("dmr")))
-      .withColumn("dim_score_sum", round(col("__tf")("dss"), 6))
+      // +1.7e-8 before rounding: dss is an order-sensitive double sum (token
+      // order here, join order in a SQL oracle) — the epsilon keeps ulp
+      // differences from flipping a 1e-6 rounding boundary. NOT 1e-7: an
+      // epsilon that is a multiple of the value grid maps on-grid values
+      // (e.g. a mean of round6 numbers landing on x.xxxxxx4) EXACTLY onto
+      // the rounding boundary, letting engine noise pick the side
+      // (observed once in 44k values at +1e-7)
+      .withColumn("dim_score_sum", round(col("__tf")("dss") + lit(1.7e-8), 6))
       // a sparsely-populated signal to demonstrate rolling backfill
       .withColumn("sparse_quality", when(col("token_count") >= 6, col("quality")))
       .drop("__tf")
@@ -157,7 +171,9 @@ object FeaturePipeline {
       .withColumn("session_pos",
         col("__rn") - last(when(col("__new") === 1L, col("__rn")), ignoreNulls = true).over(wRun))
       .withColumn("quality_filled", last(col("sparse_quality"), ignoreNulls = true).over(wRun))
-      .withColumn("running_quality_mean", round(avg(col("quality")).over(wRun), 6))
+      // +1.7e-8: running mean is an order-sensitive double sum (see dim_score_sum)
+      .withColumn("running_quality_mean",
+        round(avg(col("quality")).over(wRun) + lit(1.7e-8), 6))
       .drop("__new", "__rn", "phash_prev", "bytes", "caption", "fmt")
   }
 
@@ -181,14 +197,25 @@ object FeaturePipeline {
     * of all rows).
     */
   def featuresSkewSafe(events: DataFrame, dim: DataFrame, entDim: DataFrame,
-      gapMs: Long = Corpus.SessionGapMs, timeBuckets: Int = 64): DataFrame = {
+      gapMs: Long = Corpus.SessionGapMs, timeBuckets: Int = 64,
+      bounds: Option[(Long, Long)] = None): DataFrame = {
     val scalar = scalarFeatures(events, dim, entDim)
 
-    // fixed-width global time buckets (one tiny agg)
-    val b = scalar.agg(min(col("event_ms")).as("lo"), max(col("event_ms")).as("hi")).head()
-    val lo = b.getLong(0)
-    val span = math.max(1L, (b.getLong(1) - lo) / timeBuckets + 1L)
-    val withBkt = scalar.withColumn("__bkt",
+    // fixed-width global time buckets. Bounds come from the caller when the
+    // time range is known (at 100 TB the table's partition metadata has it —
+    // paying a scan for min/max is wasteful); otherwise ONE pruned-column
+    // min/max over the raw input (vectorized scan of event_ms only, never
+    // the scalar-feature pipeline, which would run the UDF block twice)
+    val (lo, hi) = bounds.getOrElse {
+      val b = events.agg(min(col("event_ms")).as("lo"), max(col("event_ms")).as("hi")).head()
+      (b.getLong(0), b.getLong(1))
+    }
+    val span = math.max(1L, (hi - lo) / timeBuckets + 1L)
+    // drop the payload columns BEFORE phase 1: the persist below is a
+    // materialization barrier, so Catalyst's column pruning cannot reach
+    // through it — without this the cache holds image bytes + captions
+    // (measured 2.5x slower end-to-end at 6M rows)
+    val withBkt = scalar.drop("bytes", "caption", "fmt").withColumn("__bkt",
       ((col("event_ms") - lit(lo)) / lit(span)).cast("int"))
 
     // --- phase 1: local windows over (entity, bucket) -----------------------
@@ -261,8 +288,13 @@ object FeaturePipeline {
         col("prev_last_phash"), col("bnew"), col("carry_cnt"), col("carry_qsum"),
         col("carry_sess"), col("carry_sparse"), col("prev_open"))
 
-    // --- final: broadcast the carries back and repair boundaries -------------
-    val merged = local.join(broadcast(carries), Seq("entity_id", "__bkt"))
+    // --- final: join the carries back and repair boundaries ------------------
+    // SHUFFLE_HASH, not broadcast: phase-1 is already hash-partitioned by
+    // (entity_id, __bkt) from its window exchange, so the join shuffles ONLY
+    // the tiny carries side and builds per-partition hash maps — no sort of
+    // the fact side, no driver collect. At 10^12 rows the carries table is
+    // |entities|·|buckets| rows (can reach 10^8), far beyond broadcast range.
+    val merged = local.join(carries.hint("SHUFFLE_HASH"), Seq("entity_id", "__bkt"))
     merged
       .withColumn("dt_prev_ms",
         when(col("__lrn") > 1, col("__lgap"))
@@ -274,15 +306,16 @@ object FeaturePipeline {
       .withColumn("session_idx",
         col("carry_sess") + col("__lsess") - 1L - (lit(1L) - col("bnew")))
       .withColumn("session_pos",
-        col("__lpos") + when(col("__lsess") === 1L && col("bnew") === 0L,
-          col("prev_open")).otherwise(lit(0L)))
+        (col("__lpos") + when(col("__lsess") === 1L && col("bnew") === 0L,
+          col("prev_open")).otherwise(lit(0L))).cast("int"))
       .withColumn("quality_filled", coalesce(col("__lfilled"), col("carry_sparse")))
       .withColumn("running_quality_mean",
-        round((col("carry_qsum") + col("__lqsum")) / (col("carry_cnt") + col("__lrn")), 6))
+        round((col("carry_qsum") + col("__lqsum")) / (col("carry_cnt") + col("__lrn"))
+          + lit(1.7e-8), 6))
       .drop("__bkt", "__lrn", "__lgap", "__lphash_prev", "__lnew", "__lsess",
         "__lpos", "__lqsum", "__lfilled", "__prev_phash", "prev_last_ms",
         "prev_last_phash", "bnew", "carry_cnt", "carry_qsum", "carry_sess",
-        "carry_sparse", "prev_open", "bytes", "caption", "fmt")
+        "carry_sparse", "prev_open")
   }
 
   /** Attach the point-in-time feature vector to arbitrary (entity, t) probes
@@ -296,11 +329,15 @@ object FeaturePipeline {
       entity = "entity_id", probeTime = "probe_ms", eventTime = "event_ms",
       tie = Some("seq"))
 
-  /** End-to-end flagship at a given scale (synthesize → features → as-of). */
+  /** End-to-end flagship at a given scale (synthesize → features → as-of).
+    * Runs the SKEW-SAFE feature variant — the scale path is the product;
+    * the plain-window [[features]] is its small-input semantic twin
+    * (equivalence asserted in GoldenFeatureSpec, both DuckDB-oracle'd).
+    */
   def flagship(spark: SparkSession, p: Corpus.Params): DataFrame = {
     val ev = Corpus.events(spark, p)
     val dim = Corpus.dimFeatures(spark, p.seed)
     val ed = entityDim(spark, p.entities)
-    asOfFeatures(Corpus.probes(spark, p), features(ev, dim, ed))
+    asOfFeatures(Corpus.probes(spark, p), featuresSkewSafe(ev, dim, ed))
   }
 }

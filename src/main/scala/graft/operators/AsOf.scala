@@ -75,17 +75,23 @@ object AsOf {
       attach: Seq[String] = Nil,
       tie: Option[String] = None,
       prefix: String = "asof_",
-      timeBuckets: Int = 32): DataFrame = {
+      timeBuckets: Int = 32,
+      timeBounds: Option[(Long, Long)] = None): DataFrame = {
     val attachCols =
       if (attach.nonEmpty) attach
       else events.columns.filter(c => c != entity && c != eventTime).toSeq
 
-    // fixed-width global time buckets (one tiny agg per side)
-    val bounds = probes.select(col(probeTime).cast("long").as("t"))
-      .unionByName(events.select(col(eventTime).cast("long").as("t")))
-      .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
-    val lo = bounds.getLong(0)
-    val span = math.max(1L, (bounds.getLong(1) - lo) / timeBuckets + 1L)
+    // fixed-width global time buckets. `timeBounds` lets the caller supply
+    // the known time range (table partition metadata at scale); the fallback
+    // is one pruned two-column min/max scan — acceptable for ad-hoc use but
+    // an extra full pass over both sides at 100 TB, so callers should pass it
+    val (lo, hi) = timeBounds.getOrElse {
+      val b = probes.select(col(probeTime).cast("long").as("t"))
+        .unionByName(events.select(col(eventTime).cast("long").as("t")))
+        .agg(min(col("t")).as("lo"), max(col("t")).as("hi")).head()
+      (b.getLong(0), b.getLong(1))
+    }
+    val span = math.max(1L, (hi - lo) / timeBuckets + 1L)
     def bucketOf(t: Column): Column = ((t.cast("long") - lit(lo)) / lit(span)).cast("int")
 
     val tieCol = tie.map(col).getOrElse(lit(0L)).cast("long")

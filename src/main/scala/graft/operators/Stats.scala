@@ -62,7 +62,8 @@ object Stats {
         count(lit(1)).as("n"))
 
   /** Mean ± normal-approx confidence interval per group
-    * (`Fig_supp_table.R:41-63`). z defaults to 1.96 (95%).
+    * (`Fig_supp_table.R:41-63`). z defaults to 1.96 (95%); use
+    * [[meanCiLevel]] for an arbitrary confidence level via qnorm.
     */
   def meanCi(df: DataFrame, group: Seq[String], value: String, z: Double = 1.96): DataFrame =
     df.groupBy(group.map(col): _*)
@@ -70,7 +71,133 @@ object Stats {
         count(lit(1)).as("n"))
       .withColumn("ci_lo", col("mean") - lit(z) * col("sd") / sqrt(col("n")))
       .withColumn("ci_hi", col("mean") + lit(z) * col("sd") / sqrt(col("n")))
-      
+
+  /** meanCi at an arbitrary confidence level: z = qnorm(1 - (1-level)/2),
+    * computed once on the driver (a scalar plan literal — reference analog:
+    * `qnorm(0.975)` multipliers in `Fig_supp_table.R:48-50`).
+    */
+  def meanCiLevel(df: DataFrame, group: Seq[String], value: String,
+      level: Double): DataFrame =
+    meanCi(df, group, value, z = qnorm(1.0 - (1.0 - level) / 2.0))
+
+  /** Inverse standard-normal CDF (quantile function), Acklam's rational
+    * approximation (public algorithm; |relative error| < 1.15e-9 across
+    * (0,1)). Deterministic scalar — used for CI multipliers, never in the
+    * per-row hot path.
+    */
+  def qnorm(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"qnorm domain is (0,1), got $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01, -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2.0 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    } else if (p <= 1.0 - pl) {
+      val q = p - 0.5
+      val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+    } else {
+      val q = math.sqrt(-2.0 * math.log(1.0 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+    }
+  }
+
+  /** Kendall's tau-b per group (reference: EN notebook cell 13 `kendalltau`,
+    * `az_ml_models.R:33-35`): collect the group's (x, y) pairs via a
+    * map-side-combinable collect_list, then Knight's O(n log n) algorithm
+    * (merge-sort discordance count) in a single typed pass.
+    * tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with the scipy tie handling.
+    * Scale note: per-group state is O(group size) — intended for the
+    * reference's per-feature statistical groups, not fact-scale groups.
+    */
+  def kendall(df: DataFrame, group: Seq[String], x: String, y: String,
+      as: String = "kendall_tau"): DataFrame = {
+    val tau = udf { (xy: Seq[org.apache.spark.sql.Row]) =>
+      val n = xy.length
+      if (n < 2) Double.NaN
+      else {
+        val xs = new Array[Double](n)
+        val ys = new Array[Double](n)
+        val idx = (0 until n).sortBy(i => (xy(i).getDouble(0), xy(i).getDouble(1)))
+        var k = 0
+        while (k < n) { xs(k) = xy(idx(k)).getDouble(0); ys(k) = xy(idx(k)).getDouble(1); k += 1 }
+        tauBSorted(xs, ys)
+      }
+    }
+    df.groupBy(group.map(col): _*)
+      .agg(collect_list(struct(col(x).cast("double"), col(y).cast("double"))).as("__xy"),
+        count(lit(1)).as("n"))
+      .withColumn(as, tau(col("__xy")))
+      .drop("__xy")
+  }
+
+  /** tau-b over arrays pre-sorted by (x, y): xtie/ytie/joint-tie run counts
+    * plus merge-sort discordance (# pairs with x strictly ordered and y
+    * strictly inverted).
+    */
+  private def tauBSorted(xs: Array[Double], ys: Array[Double]): Double = {
+    val n = xs.length
+    def tieSum(runEq: (Int, Int) => Boolean): Long = {
+      var s = 0L; var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n && runEq(i, j)) j += 1
+        val t = (j - i).toLong
+        s += t * (t - 1) / 2
+        i = j
+      }
+      s
+    }
+    val xtie = tieSum((i, j) => xs(i) == xs(j))
+    val ntie = tieSum((i, j) => xs(i) == xs(j) && ys(i) == ys(j))
+    // ytie needs y-sorted order
+    val ysorted = ys.clone().sorted
+    var ytie = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && ysorted(i) == ysorted(j)) j += 1
+      val t = (j - i).toLong
+      ytie += t * (t - 1) / 2
+      i = j
+    }
+    // discordant pairs: merge-sort inversion count on ys (strict >)
+    val buf = new Array[Double](n)
+    def countInv(arr: Array[Double], lo: Int, hi: Int): Long = {
+      if (hi - lo < 2) 0L
+      else {
+        val mid = (lo + hi) / 2
+        var inv = countInv(arr, lo, mid) + countInv(arr, mid, hi)
+        var a = lo; var b = mid; var o = lo
+        while (a < mid && b < hi) {
+          if (arr(b) < arr(a)) { inv += (mid - a).toLong; buf(o) = arr(b); b += 1 }
+          else { buf(o) = arr(a); a += 1 }
+          o += 1
+        }
+        while (a < mid) { buf(o) = arr(a); a += 1; o += 1 }
+        while (b < hi) { buf(o) = arr(b); b += 1; o += 1 }
+        System.arraycopy(buf, lo, arr, lo, hi - lo)
+        inv
+      }
+    }
+    val dis = countInv(ys.clone(), 0, n)
+    val tot = n.toLong * (n - 1) / 2
+    val denom = math.sqrt((tot - xtie).toDouble * (tot - ytie).toDouble)
+    if (denom == 0.0) Double.NaN
+    else (tot - xtie - ytie + ntie - 2 * dis) / denom
+  }
 
   /** Leakage-safe z-score scaling (reference F10/M6,
     * `train_functions.R:144-146`): stats computed ONLY on rows where

@@ -69,10 +69,12 @@ class GoldenFeatureSpec extends AnyFunSuite {
         gold((e.entity, e.seq)) = Gold(
           prev.map(p => Phash.hamming(e.phash, p.phash)),
           sessIdx, (idx - sessStart).toLong,
-          math.round(qSum / (idx + 1) * 1e6) / 1e6,
+          // +1.7e-8 mirrors the pipeline's epsilon-rounding of the two
+          // order-sensitive double sums (see FeaturePipeline)
+          math.round((qSum / (idx + 1) + 1.7e-8) * 1e6) / 1e6,
           matched.length.toLong,
           if (matched.nonEmpty) Some(matched.map(k => dimRows(k)._1).min) else None,
-          math.round(matched.map(k => dimRows(k)._2).sum * 1e6) / 1e6,
+          math.round((matched.map(k => dimRows(k)._2).sum + 1.7e-8) * 1e6) / 1e6,
           toks.length, lastSparse)
         prev = Some(e)
       }
