@@ -44,8 +44,29 @@ object QueriesCorpus {
         .coalesce(1).write.mode("overwrite").parquet(s"$D/dim.parquet")
       FeaturePipeline.entityDim(s, P.entities)
         .coalesce(1).write.mode("overwrite").parquet(s"$D/entdim.parquet")
+      phashTable(s)
+        .coalesce(1).write.mode("overwrite").parquet(s"$D/phash.parquet")
       dumped = true
     }
+  }
+
+  /** Image-dedup fixture: the corpus phashes plus deterministically planted
+    * near-duplicate variants (every 40th image re-appears with 1 signature
+    * bit flipped, every 120th with 3) — random 64-bit phashes alone have no
+    * hamming<=3 pairs to find.
+    */
+  private def phashTable(s: SparkSession): DataFrame = {
+    val base = Corpus.events(s, P).select(col("seq").as("pid"), col("phash"))
+    // shiftleft(Column, Column) has no Scala overload — SQL expr form
+    val b1 = expr("shiftleft(1L, cast(pid % 61 as int))")
+    val b2 = expr("shiftleft(1L, cast((pid div 7) % 59 + 1 as int))")
+    val b3 = expr("shiftleft(1L, cast((pid div 11) % 53 + 2 as int))")
+    val flips = base.where(col("pid") % 40 === 0)
+      .select((col("pid") + 1000000L).as("pid"),
+        when(col("pid") % 120 === 0,
+          col("phash").bitwiseXOR(b1).bitwiseXOR(b2).bitwiseXOR(b3))
+          .otherwise(col("phash").bitwiseXOR(b1)).as("phash"))
+    base.union(flips)
   }
 
   private def events5(s: SparkSession): DataFrame =
@@ -99,6 +120,15 @@ object QueriesCorpus {
       ensureDump(s)
       AsOf.joinSkewSafe(Corpus.probes(s, P), events5(s), "entity_id",
         "probe_ms", "event_ms", tie = Some("seq"))
+    }),
+
+    // image near-dup dedup: phash hamming<=3 pairs via 16-bit-chunk bucket
+    // blocking — DuckDB oracle replays the full operator semantics (chunk
+    // keys, hot-bucket guard, pair dedup) over the dumped signature table
+    "dd_phash_neardup" -> ((s, _) => {
+      ensureDump(s)
+      graft.operators.Dedup.hammingPairs(
+        s.read.parquet(s"$D/phash.parquet"), "pid", "phash", maxHamming = 3)
     })
   )
 
@@ -195,6 +225,24 @@ object QueriesCorpus {
        |  ON p.entity_id = e.entity_id AND p.probe_ms >= e.event_ms""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // mirrors hammingPairs' FULL semantics cross-engine, including the
+    // maxBucket hot-chunk guard (the synthesized low-res phashes cluster
+    // heavily — 93k natural hamming-3 pairs in 2050 rows — so the guard is
+    // actually exercised; lossless recall on guard-free corpora is proven
+    // separately by the simhash exhaustive-pairs spec)
+    "dd_phash_neardup" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$D/phash.parquet/*.parquet')),
+         |c AS (SELECT pid, phash, unnest([0,1,2,3]) AS ch FROM t),
+         |k AS (SELECT pid, phash, ch, (phash >> (ch*16)) & 65535 AS key FROM c),
+         |hot AS (SELECT ch, key FROM k GROUP BY 1,2 HAVING count(*) > 256),
+         |kept AS (SELECT k.* FROM k ANTI JOIN hot USING (ch, key)),
+         |p AS (SELECT a.pid AS id_a, b.pid AS id_b,
+         |        min(bit_count(xor(a.phash, b.phash))) AS h
+         |      FROM kept a JOIN kept b
+         |        ON a.ch = b.ch AND a.key = b.key AND a.pid < b.pid
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(h AS BIGINT) AS hamming FROM p
+         |WHERE h <= 3""".stripMargin,
     "corpus_feature_vectors" -> (featsSql + "SELECT * FROM feats"),
     "corpus_probe_asof" -> probeAsofSql,
     "corpus_probe_asof_skew" -> probeAsofSql,

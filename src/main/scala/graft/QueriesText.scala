@@ -77,16 +77,24 @@ object QueriesText {
       t(s, d, "documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fingerprint"))),
 
+    // ---- DD: fingerprint dedup GROUPS are cross-engine-verifiable even though
+    // the hash itself is engine-local: grouping by the rolling-hash fingerprint
+    // is grouping by the whitespace-normalized token sequence (no collisions in
+    // the corpus — oracle'd structurally against DuckDB grouping by that string)
+    "dd_fingerprint" -> ((s, d) =>
+      Dedup.byFingerprint(t(s, d, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("n_copies"))),
+
     // ---- DD: exact dedup --------------------------------------------------------
     "dd_exact" -> ((s, d) =>
       t(s, d, "documents").groupBy(col("text"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(col("keep_id"), col("n_copies"), length(col("text")).as("text_len"))),
 
-    // ---- DD: exact n-gram Jaccard near-dup via inverted-index join -------------
+    // ---- DD: EXACT n-gram Jaccard near-dup via prefix-filtered index join ------
     "dd_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.5, maxDf = 20)
+        n = 3, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))),
 
     // ---- DD: MinHash+LSH near-dup (hash-sig; ScalaTest-verified) ---------------
@@ -189,6 +197,13 @@ object QueriesText {
     "dd_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
          length(text) AS text_len FROM documents GROUP BY text""",
+    "dd_fingerprint" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM (SELECT doc_id, array_to_string(
+                 list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+                 ' ') AS norm
+               FROM documents)
+         GROUP BY norm""",
     "dd_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id,
            list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
@@ -198,21 +213,10 @@ object QueriesText {
              i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS gram
            FROM toks),
          sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-         dfreq AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
-         rare AS (SELECT g.doc_id, g.gram FROM grams g
-                  JOIN dfreq USING (gram) WHERE df <= 20 AND df > 1),
-         shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ns
-                    FROM rare a JOIN rare b ON a.gram = b.gram
-                    WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-         pairs AS (SELECT id_a, id_b FROM shared
-                   JOIN sizes psa ON psa.doc_id = id_a
-                   JOIN sizes psb ON psb.doc_id = id_b
-                   WHERE ns >= least(2, psa.sz, psb.sz)),
-         inter AS (SELECT p.id_a, p.id_b, count(*) AS i
-                   FROM pairs p
-                   JOIN grams ga ON ga.doc_id = p.id_a
-                   JOIN grams gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
-                   GROUP BY p.id_a, p.id_b)
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM grams a JOIN grams b
+                     ON a.gram = b.gram AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
          SELECT id_a, id_b,
            round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
          FROM inter JOIN sizes sa ON sa.doc_id = id_a

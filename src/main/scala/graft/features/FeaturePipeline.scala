@@ -31,19 +31,12 @@ import graft.operators.AsOf
   */
 object FeaturePipeline {
 
-  /** Phase-1 DataFrames persisted by [[featuresSkewSafe]]. Callers own the
-    * cache lifecycle: call [[releaseCaches]] once the skew-safe output has
-    * been fully materialized (Bench does, after each rep) — otherwise
-    * repeated invocations in one session accumulate cached blocks.
+  /** Operator-internal persists (phase-1 here, the dedup inverted index in
+    * [[graft.operators.Dedup]]) register in [[graft.operators.Caches]];
+    * callers own the lifecycle — release once the output is materialized
+    * (Bench/Verify do, after each query/rep).
     */
-  private val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-
-  def releaseCaches(): Unit = synchronized {
-    // blocking: a lazy unpersist leaves stale blocks competing with the next
-    // invocation's persist for storage memory (measured in-session slowdown)
-    caches.foreach(df => try df.unpersist(blocking = true) catch { case _: Throwable => () })
-    caches.clear()
-  }
+  def releaseCaches(): Unit = graft.operators.Caches.releaseAll()
 
   /** Closure-captured dim-table entry (allocation-free probe in the UDF). */
   final case class DimEntry(rank: Int, score: Double)
@@ -174,7 +167,8 @@ object FeaturePipeline {
       // +1.7e-8: running mean is an order-sensitive double sum (see dim_score_sum)
       .withColumn("running_quality_mean",
         round(avg(col("quality")).over(wRun) + lit(1.7e-8), 6))
-      .drop("__new", "__rn", "phash_prev", "bytes", "caption", "fmt")
+      // event_time duplicates event_ms (ms-precision timestamp) — not carried
+      .drop("__new", "__rn", "phash_prev", "bytes", "caption", "fmt", "event_time")
   }
 
   /** Skew-safe variant of [[features]]: identical output (equivalence
@@ -196,9 +190,16 @@ object FeaturePipeline {
     * efficiency 0.40 with the plain window vs the hot entity holding ~12%
     * of all rows).
     */
+  /** @param reusePhase1 true: persist phase-1 and read it for both the
+    *   summary and the merge (one compute, ~3x its bytes in cache traffic);
+    *   false: recompute phase-1 for each consumer (2x CPU, zero cache
+    *   traffic). CPU scales with executors; a single box's memory bandwidth
+    *   does not — at high parallelism recompute can win (bench-measured).
+    */
   def featuresSkewSafe(events: DataFrame, dim: DataFrame, entDim: DataFrame,
       gapMs: Long = Corpus.SessionGapMs, timeBuckets: Int = 64,
-      bounds: Option[(Long, Long)] = None): DataFrame = {
+      bounds: Option[(Long, Long)] = None,
+      reusePhase1: Boolean = true): DataFrame = {
     val scalar = scalarFeatures(events, dim, entDim)
 
     // fixed-width global time buckets. Bounds come from the caller when the
@@ -215,14 +216,15 @@ object FeaturePipeline {
     // materialization barrier, so Catalyst's column pruning cannot reach
     // through it — without this the cache holds image bytes + captions
     // (measured 2.5x slower end-to-end at 6M rows)
-    val withBkt = scalar.drop("bytes", "caption", "fmt").withColumn("__bkt",
-      ((col("event_ms") - lit(lo)) / lit(span)).cast("int"))
+    val withBkt = scalar.drop("bytes", "caption", "fmt", "event_time")
+      .withColumn("__bkt",
+        ((col("event_ms") - lit(lo)) / lit(span)).cast("int"))
 
     // --- phase 1: local windows over (entity, bucket) -----------------------
     val w1 = Window.partitionBy(col("entity_id"), col("__bkt"))
       .orderBy(col("event_ms"), col("seq"))
     val w1Run = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = withBkt
+    val local0 = withBkt
       .withColumn("__lrn", row_number().over(w1))
       .withColumn("__lgap", col("event_ms") - lag(col("event_ms"), 1).over(w1))
       .withColumn("__lphash_prev", lag(col("phash"), 1).over(w1))
@@ -233,12 +235,11 @@ object FeaturePipeline {
         col("__lrn") - last(when(col("__lnew") === 1L, col("__lrn")), ignoreNulls = true).over(w1Run))
       .withColumn("__lqsum", sum(col("quality")).over(w1Run))
       .withColumn("__lfilled", last(col("sparse_quality"), ignoreNulls = true).over(w1Run))
-      // phase-1 output feeds BOTH the summary and the final merge; without a
-      // persist the whole upstream (source + scalar features + window) runs
-      // twice. On a cluster this is a natural stage-output reuse point.
-      // Registered in `caches`; callers release via releaseCaches().
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    synchronized { caches += local }
+    // phase-1 output feeds BOTH the summary and the final merge: either
+    // persist it (registered in Caches; callers release via releaseCaches())
+    // or let each consumer recompute it (see reusePhase1).
+    val local =
+      if (reusePhase1) graft.operators.Caches.cache(local0) else local0
 
     // --- per-bucket summary (|entities| x buckets rows — tiny) --------------
     val summary = local.groupBy(col("entity_id"), col("__bkt"))

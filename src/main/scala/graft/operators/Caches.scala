@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session cache registry for operator-internal persists.
+  *
+  * Several operators materialize an intermediate consumed by MULTIPLE
+  * downstream exchanges (the dedup inverted index, skew-safe phase-1):
+  * without a persist, Spark recomputes the full upstream lineage once per
+  * consumer (measured 5x recompute of the n-gram index in ngramJaccard).
+  * At warehouse scale these intermediates would be materialized tables;
+  * in-session they are registered here so callers that loop over many
+  * queries (Verify, Bench) can release them deterministically between
+  * invocations — `unpersist(blocking = true)`, because lazily-released
+  * blocks compete with the next persist for storage memory.
+  */
+object Caches {
+
+  private val registered = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist and register `df`; returns the persisted frame. */
+  def cache(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    synchronized {
+      val c = df.persist(level)
+      registered += c
+      c
+    }
+
+  def releaseAll(): Unit = synchronized {
+    registered.foreach(df =>
+      try df.unpersist(blocking = true) catch { case _: Throwable => () })
+    registered.clear()
+  }
+}

@@ -86,8 +86,8 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s.trim.split("\\s+").filter(_.nonEmpty).sliding(n).filter(_.length == n)
         .map(_.mkString(" ")).toSet
     val byId = data.toMap
-    val got = Dedup.ngramJaccard(d, "doc_id", "text", n = 3, minJaccard = 0.5,
-      maxDf = 20).collect()
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     got.foreach { case ((a, b), j) =>
       val (ga, gb) = (tokGrams(byId(a), 3), tokGrams(byId(b), 3))
@@ -142,35 +142,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("ngramJaccard survives short/empty/null docs and keeps single-gram dups") {
     val d = edgeTexts.toDF("doc_id", "text")
-    val got = Dedup.ngramJaccard(d, "doc_id", "text", n = 3, minJaccard = 0.5,
-      maxDf = 20).collect()
+    val got = Dedup.ngramJaccard(d, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // the planted identical 3-token docs (one gram each) must be found
     assert(got.get((5L, 6L)).exists(j => math.abs(j - 1.0) < 1e-9), s"got=$got")
   }
 
-  test("ngramJaccard candidate bounding does not change the output") {
-    // ground truth: ALL pairs sharing >= 1 rare gram (the round-1 blocking),
-    // computed driver-side — the tightened >=min(2,|A|,|B|)-shared blocking
-    // must produce exactly the same final pair set
+  test("ngramJaccard prefix filtering is EXACT: output = brute-force all-pairs") {
+    // ground truth: brute-force exact Jaccard over ALL doc pairs — prefix
+    // filtering must lose nothing (SSJoin prefix lemma)
     val data = docs(60, 41L) ++ Seq((200L, "x1 x2 x3"), (201L, "x1 x2 x3"))
     def grams(s: String) = s.trim.split("\\s+").filter(_.nonEmpty)
       .sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
     val g = data.map { case (id, t) => id -> grams(t) }.toMap
-    val dfreq = g.values.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
-    val rare = g.map { case (id, gs) => id -> gs.filter(x => dfreq(x) <= 20) }
     val want = (for {
       a <- data.map(_._1); b <- data.map(_._1) if a < b
-      if rare(a).intersect(rare(b)).nonEmpty
+      if g(a).nonEmpty && g(b).nonEmpty
       j = { val i = g(a).intersect(g(b)).size
-            if (g(a).isEmpty && g(b).isEmpty) 0.0
-            else i.toDouble / (g(a).size + g(b).size - i) }
+            i.toDouble / (g(a).size + g(b).size - i) }
       if j >= 0.5
     } yield (a, b)).toSet
     val got = Dedup.ngramJaccard(data.toDF("doc_id", "text"), "doc_id", "text",
-      n = 3, minJaccard = 0.5, maxDf = 20).collect()
+      n = 3, minJaccard = 0.5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("gramHashesFast is set-equal to xxhash64 over the tokenGrams HOF") {
+    val d = (docs(25, 43L) ++ edgeTexts).toDF("doc_id", "text")
+    val hof = d.select(col("doc_id"),
+      transform(Dedup.tokenGrams(col("text"), 3), g => xxhash64(g)).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSet).getOrElse(Set.empty[Long])).toMap
+    val fast = d.select(col("doc_id"), Dedup.gramHashesFast(3)(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    hof.keys.foreach(id => assert(fast(id) == hof(id), s"doc $id gram hashes differ"))
   }
 
   /** Deterministic embeddings with planted clusters. */
