@@ -29,6 +29,25 @@ object QueriesMisc {
         countDistinct(col("o_orderkey")).as("n_distinct"))
     }),
 
+    // ---- S2: snapshot-table commit/read roundtrip -----------------------------
+    // two commits (initial + append) against a fresh root, then read-back of
+    // the CURRENT snapshot — exercises bucket manifests, the changed-bucket
+    // diff, and the atomic pointer on the driver gate (kill/rerun resume and
+    // time travel are SnapshotTableSpec). pbucket is engine-internal
+    // (xxhash64) and dropped from the comparable output.
+    "s2_snapshot_roundtrip" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          // a monotone "event time" for the watermark manifest column
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(
+        docs.where(col("doc_id") % 2 === 0), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commit(docs, root, "doc_id", "ts")
+      graft.tables.SnapshotTable.read(s, root)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    }),
+
     // ---- S4/S5: CSV write + schema'd read roundtrip --------------------------
     "s4_csv_roundtrip" -> ((s, d) => {
       val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
@@ -45,6 +64,8 @@ object QueriesMisc {
       """SELECT CAST(o_orderkey % 5 AS INTEGER) AS fold, count(*) AS n,
          round(avg(o_totalprice) + 1e-7, 4) AS mean_price
          FROM orders GROUP BY 1""",
+    "s2_snapshot_roundtrip" ->
+      "SELECT doc_id, lang, length(text) AS text_len FROM documents",
     "s4_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region"
   )

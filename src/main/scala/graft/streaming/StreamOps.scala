@@ -32,6 +32,21 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup, the incremental twin of [[graft.operators.Dedup
+    * .exact]]: keep the first occurrence per content key, where the state
+    * store retains keys only within the watermark horizon (unbounded dedup
+    * state is the classic streaming-pipeline OOM at 10^12 docs — late
+    * re-occurrences beyond the horizon are the documented tradeoff, exactly
+    * as in the batch engine's snapshot-incremental reprocessing).
+    */
+  def dedupExact(events: DataFrame, tsCol: String, textCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__k", xxhash64(col(textCol)))
+      .dropDuplicatesWithinWatermark("__k")
+      .drop("__k")
+
   /** Drive a streaming query synchronously over a bounded source into an
     * in-memory table (test/bench harness path). Append mode only emits
     * watermark-closed windows (the last open session per key stays pending);

@@ -68,4 +68,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"entity dim join is not broadcast:\n$plan")
   }
+
+  test("near-dup joins: no cartesian product, hot-bucket guard is broadcast") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w$i end"))
+      .toDF("doc_id", "text")
+    val ng = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5)
+    ng.collect()
+    val ngPlan = executed(ng)
+    assert(!ngPlan.contains("CartesianProduct"),
+      s"ngramJaccard degenerated to a cartesian product:\n$ngPlan")
+    graft.operators.Caches.releaseAll()
+
+    // signatures with BOTH a hot bucket (300 identical sigs > maxBucket —
+    // the guard must fire, or the fixture collapses to EmptyRelation and
+    // asserts nothing) and planted 1-bit-flip near-dup pairs
+    val sigs = ((0 until 300).map(i => (i.toLong, 42L)) ++
+      (300 until 400).flatMap { i =>
+        val base = i.toLong * 0x9E3779B97F4A7C15L
+        Seq((i.toLong * 2, base), (i.toLong * 2 + 1, base ^ (1L << (i % 64))))
+      }).toDF("doc_id", "sig")
+    val hp = graft.operators.Dedup.hammingPairs(sigs, "doc_id", "sig")
+    assert(hp.count() >= 100, "planted near-dup pairs not found")
+    val hpPlan = executed(hp)
+    assert(!hpPlan.contains("CartesianProduct"), hpPlan)
+    // the hot-bucket strip must be a broadcast anti-join, never a shuffle of
+    // the exploded chunk rows against the tiny hot list
+    assert(hpPlan.contains("BroadcastHashJoin") && hpPlan.contains("LeftAnti"),
+      s"hot-bucket guard is not a broadcast anti-join:\n$hpPlan")
+  }
 }

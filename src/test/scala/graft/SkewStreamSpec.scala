@@ -84,4 +84,30 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(streamed == sessions,
       s"stream=$streamed\nbatch=$sessions")
   }
+
+  test("streaming exact dedup keeps one row per text within the watermark") {
+    // bounded corpus with PLANTED exact dups: every 10th caption re-arrives
+    // later (well inside the watermark) and must be dropped
+    val p = Corpus.Params(rows = 1200, entities = 6)
+    val base = Corpus.events(spark, p)
+      .select(col("caption"), col("event_time"), col("seq"))
+    val replays = base.where(col("seq") % 10 === 0)
+      .withColumn("event_time",
+        col("event_time") + expr("INTERVAL 1 HOUR"))
+      .withColumn("seq", col("seq") + 100000L)
+    val batch = base.union(replays)
+    val nDistinct = batch.select(countDistinct(col("caption"))).head().getLong(0)
+    assert(nDistinct < batch.count(), "fixture has no duplicate captions — test is vacuous")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    StreamOps.runToMemory(
+      StreamOps.dedupExact(stream, "event_time", "caption", watermark = "365 days"),
+      "dedup_out")
+    val out = spark.table("dedup_out")
+    assert(out.count() == nDistinct,
+      s"streaming dedup kept ${out.count()} rows, want $nDistinct")
+    assert(out.select(countDistinct(col("caption"))).head().getLong(0) == nDistinct)
+  }
 }
