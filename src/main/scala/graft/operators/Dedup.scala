@@ -162,6 +162,20 @@ object Dedup {
     }
   }
 
+  /** One-pass merge intersection size of two SORTED long arrays (the shape
+    * [[gramHashesFast]] emits) — the exact-verification kernel shared by
+    * [[minhashLsh]] and [[ngramJaccard]].
+    */
+  private val interSize: UserDefinedFunction = udf { (a: Array[Long], b: Array[Long]) =>
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** MinHash+LSH near-dup pairs: signature → bands → bucket join → exact
     * shingle-Jaccard verification, filtered by `minJaccard`.
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -172,21 +186,23 @@ object Dedup {
     *  - mega-buckets (non-discriminative signatures, e.g. near-empty docs or
     *    tiny vocabularies) are dropped via `maxBucket` BEFORE the self-join,
     *    bounding the candidate count at buckets·maxBucket² instead of n²;
-    *  - exact verification joins the candidate PAIRS back to the texts and
-    *    recomputes shingles in a projection (two hash joins on ids).
+    *  - exact verification joins the candidate PAIRS back to the docs and
+    *    merge-intersects sorted gram-hash sets ([[gramHashesFast]]) — two
+    *    hash joins on ids, no interpreted HOF per candidate.
     */
   def minhashLsh(df: DataFrame, id: String, text: String,
       shingleN: Int = 3, k: Int = 16, rowsPerBand: Int = 4,
-      minJaccard: Double = 0.7, maxBucket: Int = 64,
-      gramFn: (Column, Int) => Column = tokenGrams): DataFrame = {
+      minJaccard: Double = 0.7, maxBucket: Int = 64): DataFrame = {
     val bands = k / rowsPerBand
     val sigUdf = minhashSignatureFast(shingleN, k)
     val sigd = df.select(col(id).as("__id"), sigUdf(col(text)).as("__sig"))
-    val banded = sigd.select(col("__id"),
+    // cached: the banded rows feed both the hot-bucket count and the capped
+    // join — without a persist the signature UDF runs once per consumer
+    val banded = Caches.cache(sigd.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64((col("__sig")(b * rowsPerBand) +:
           (1 until rowsPerBand).map(r => col("__sig")(b * rowsPerBand + r))): _*)
-      }: _*)).as(Seq("__band", "__bucket")))
+      }: _*)).as(Seq("__band", "__bucket"))))
     // mega-bucket guard: the hot-bucket list is tiny by definition -> compute
     // it with a map-side-combined groupBy and strip via broadcast anti-join
     // (no full window sort over the banded rows)
@@ -208,13 +224,14 @@ object Dedup {
     val candIds = pairs.select(col("id_a").as("__cid"))
       .union(pairs.select(col("id_b").as("__cid"))).distinct()
     val texts = df.join(candIds, col(id) === col("__cid"), "left_semi")
-      .select(col(id), gramFn(col(text), shingleN).as("__sh"))
+      .select(col(id), gramHashesFast(shingleN)(col(text)).as("__sh"))
     pairs
       .join(texts.toDF("id_a", "__sha"), Seq("id_a"))
       .join(texts.toDF("id_b", "__shb"), Seq("id_b"))
+      .withColumn("__inter", interSize(col("__sha"), col("__shb")))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
-          size(array_union(col("__sha"), col("__shb"))), 6).as("jaccard"))
+        round(col("__inter").cast("double") /
+          (size(col("__sha")) + size(col("__shb")) - col("__inter")), 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 
@@ -382,7 +399,7 @@ object Dedup {
     *    gram sets — two hash joins on ids.
     */
   def ngramJaccard(df: DataFrame, id: String, text: String,
-      n: Int = 3, minJaccard: Double = 0.6, maxPrefixDf: Long = 10000): DataFrame = {
+      n: Int = 3, minJaccard: Double = 0.6, maxPrefixDf: Long = 1000): DataFrame = {
     // The inverted index feeds five downstream exchanges (doc sizes, gram
     // document frequencies, prefix ranking, both sides of the verification
     // join); without a persist Spark recomputes the scan+tokenize+explode
@@ -419,15 +436,6 @@ object Dedup {
     // exact verification: fetch both SORTED hash arrays (two hash joins on
     // ids) and merge-intersect in one pass — never re-explodes candidates
     // into posting rows (candidates × |doc| rows through a shuffle)
-    val interSize = udf { (a: Array[Long], b: Array[Long]) =>
-      var i = 0; var j = 0; var c = 0L
-      while (i < a.length && j < b.length) {
-        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-        else if (a(i) < b(j)) i += 1
-        else j += 1
-      }
-      c
-    }
     cand
       .join(sets.select(col("__id").as("id_a"), col("__h").as("__ha"),
         col("__sz").as("__sza")), Seq("id_a"))
