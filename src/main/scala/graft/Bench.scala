@@ -214,7 +214,7 @@ object Bench {
 
     // headline throughput at full machine parallelism (not part of the
     // scaling pair; the 8->32 region is hypervisor-limited, see above)
-    val (tMaxs, _, digMax) = level(maxCores, corpusPath, corpusRows, 2)
+    val (tMaxs, _, digMax) = level(maxCores, corpusPath, corpusRows, 3)
     val tMax = tMaxs.min
     System.err.println(f"[bench] corpus max local[$maxCores] $tMax%.2f s")
 
