@@ -22,11 +22,21 @@ object QueriesMisc {
         .agg(count(lit(1)).as("n"),
           round(avg(col("o_totalprice")) + 1e-7, 4).as("mean_price"))),
 
-    // ---- M2: bootstrap sample with replacement (seeded; rows-only check) ----
+    // ---- M2: Poisson bootstrap (seeded, partitioning-independent) -----------
+    // each row's multiplicity m ~ Poisson(0.5) derives from hash(seed, key)
+    // alone, so the SAME sample is drawn at any parallelism — unlike
+    // DataFrame.sample, whose draw depends on the partition layout. Oracle:
+    // the multiplicity table is dumped and DuckDB recomputes the weighted
+    // aggregates through its own join (the draw itself is engine-local PRNG,
+    // determinism asserted in SamplingSpec across partitionings).
     "m2_bootstrap_sample" -> ((s, d) => {
-      val sampled = t(s, d, "orders").sample(withReplacement = true, 0.5, seed = 42L)
-      sampled.agg(count(lit(1)).as("n_sampled"),
-        countDistinct(col("o_orderkey")).as("n_distinct"))
+      val m = graft.operators.Sampling.poissonBootstrap(
+        t(s, d, "orders"), "o_orderkey", rate = 0.5, seed = 42L)
+      Dumps.write(m.select(col("o_orderkey"), col("m")), "bootstrap_m")
+      m.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows_hit"), sum(col("m")).as("n_sampled"),
+          round(sum(col("m") * col("o_totalprice")) / sum(col("m")) + 1e-7, 4)
+            .as("mean_price"))
     }),
 
     // ---- S2: snapshot-table commit/read roundtrip -----------------------------
@@ -60,6 +70,14 @@ object QueriesMisc {
   )
 
   val oracle: Map[String, String] = Map(
+    "m2_bootstrap_sample" ->
+      s"""SELECT o.o_orderstatus, count(*) AS n_rows_hit,
+         |  CAST(sum(m.m) AS BIGINT) AS n_sampled,
+         |  round(sum(m.m * o.o_totalprice) / sum(m.m) + 1e-7, 4) AS mean_price
+         |FROM orders o
+         |JOIN read_parquet('${Dumps.Dir}/bootstrap_m.parquet/*.parquet') m
+         |  ON o.o_orderkey = m.o_orderkey
+         |GROUP BY 1""".stripMargin,
     "m1_fold_assignment" ->
       """SELECT CAST(o_orderkey % 5 AS INTEGER) AS fold, count(*) AS n,
          round(avg(o_totalprice) + 1e-7, 4) AS mean_price

@@ -72,10 +72,18 @@ object QueriesText {
       t(s, d, "documents").select(col("doc_id"), col("lang").as("lang_true"),
         Text.langId(col("text")).as("lang_pred"))),
 
-    // ---- TXT: document fingerprint (rolling hash; ScalaTest-verified) ---------
-    "txt_fingerprint" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Text.fingerprint(col("text")).as("fingerprint"))),
+    // ---- TXT: document fingerprint (rolling hash) -----------------------------
+    // cross-engine oracle: the per-token xxhash64 vocabulary is dumped, and
+    // DuckDB replays the rotate-xor fold itself (list_reduce with exact
+    // 64-bit wraparound via HUGEINT) — the FOLD semantics are verified, only
+    // the token hash stays engine-local
+    "txt_fingerprint" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dumps.write(docs.select(explode(Text.tokens(col("text"))).as("token"))
+        .distinct().select(col("token"), xxhash64(col("token")).as("h")),
+        "token_hash")
+      docs.select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))
+    }),
 
     // ---- DD: fingerprint dedup GROUPS are cross-engine-verifiable even though
     // the hash itself is engine-local: grouping by the rolling-hash fingerprint
@@ -97,14 +105,31 @@ object QueriesText {
         n = 3, minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), col("jaccard"))),
 
-    // ---- DD: MinHash+LSH near-dup (hash-sig; ScalaTest-verified) ---------------
-    "dd_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", "text",
-        shingleN = 3, k = 16, rowsPerBand = 4, minJaccard = 0.5)),
+    // ---- DD: MinHash+LSH near-dup ----------------------------------------------
+    // cross-engine oracle: signatures + gram-hash sets are dumped (their
+    // generation is bit-equality-ScalaTest'd vs the HOF reference forms);
+    // DuckDB replays the ENTIRE downstream topology — banding (band slices
+    // as join keys), the hot-bucket guard, candidate pair generation, and
+    // exact Jaccard verification over the gram sets
+    "dd_minhash_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dumps.write(docs.select(col("doc_id"),
+        Dedup.minhashSignatureFast(3, 16)(col("text")).as("sig")), "minhash_sig")
+      Dumps.write(docs.select(col("doc_id"),
+        Dedup.gramHashesFast(3)(col("text")).as("gh")), "minhash_grams")
+      Dedup.minhashLsh(docs, "doc_id", "text",
+        shingleN = 3, k = 16, rowsPerBand = 4, minJaccard = 0.5)
+    }),
 
-    // ---- DD: SimHash near-dup (hash-sig; ScalaTest-verified) -------------------
-    "dd_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+    // ---- DD: SimHash near-dup ---------------------------------------------------
+    // cross-engine oracle: dumped signatures (bit-equality-ScalaTest'd vs the
+    // HOF form), DuckDB replays the 16-bit-chunk blocking + hot guard + pairs
+    "dd_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sigs = docs.select(col("doc_id"), Dedup.simhashFast(col("text")).as("sim"))
+      Dumps.write(sigs, "simhash_sig")
+      Dedup.hammingPairs(sigs, "doc_id", "sim", maxHamming = 3)
+    }),
 
     // ---- SIM: embedding-cosine near-dup pairs (label-blocked) ------------------
     "sim_cosine_pairs" -> ((s, d) => {
@@ -121,9 +146,17 @@ object QueriesText {
           col("embedding").as("cvec")), "qid", "qvec", "cid", "cvec", k = 3)
     }),
 
-    // ---- SIM: LSH-bucketed ANN (scale path; recall ScalaTest-verified) ----------
+    // ---- SIM: LSH-bucketed ANN (scale path) -------------------------------------
+    // cross-engine oracle: the deterministic hyperplane weights are dumped as
+    // a table, and DuckDB recomputes EVERYTHING — projections, sign-bit
+    // buckets, Hamming-1 multiprobe, candidate join, exact cosine, top-k
     "ann_lsh_topk" -> ((s, d) => {
+      import s.implicits._
       val e = t(s, d, "embeddings")
+      Dumps.write((0 until 8).map(p => (p,
+        (0 until 64).map(i => graft.corpus.Rng.double01(
+          graft.corpus.Rng.hash(42L, p.toLong * 100003L + i)) * 2.0 - 1.0).toArray))
+        .toDF("plane", "w"), "lsh_planes")
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.lshTopK(q, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
@@ -131,7 +164,85 @@ object QueriesText {
     })
   )
 
+  /** Exact 64-bit rotate-left-5 of BIGINT lambda var `a` in DuckDB: unsigned
+    * reinterpretation + wraparound via HUGEINT, OR'd (here: added — the low 5
+    * bits of the shifted part are zero) with the carried-out top 5 bits.
+    * Validated bit-exactly against the Scala fold semantics.
+    */
+  private def rot5(a: String): String = {
+    val shifted = s"((CAST($a AS HUGEINT) + CASE WHEN $a < 0 THEN 18446744073709551616 ELSE 0 END) * 32) % 18446744073709551616 + (($a >> 59) & 31)"
+    s"CAST(($shifted) - CASE WHEN ($shifted) >= 9223372036854775808 THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+  }
+
+  private val dumpDir = Dumps.Dir
+
   val oracle: Map[String, String] = Map(
+    "txt_fingerprint" ->
+      s"""WITH v AS (SELECT * FROM read_parquet('$dumpDir/token_hash.parquet/*.parquet')),
+         |toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+         |  FROM documents),
+         |tp AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk FROM toks),
+         |th AS (SELECT tp.doc_id, tp.i, v.h FROM tp JOIN v ON v.token = tp.tk[tp.i]),
+         |hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM th GROUP BY doc_id),
+         |alldocs AS (SELECT t.doc_id, coalesce(hl.hs, CAST([] AS BIGINT[])) AS hs
+         |  FROM toks t LEFT JOIN hl USING (doc_id))
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(1469598103934665603 AS BIGINT), hs),
+         |    (a, h) -> xor(${rot5("a")}, h)) AS fingerprint
+         |FROM alldocs""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH t AS (SELECT * FROM read_parquet('$dumpDir/simhash_sig.parquet/*.parquet')),
+         |c AS (SELECT doc_id, sim, unnest([0,1,2,3]) AS ch FROM t),
+         |k AS (SELECT doc_id, sim, ch, (sim >> (ch*16)) & 65535 AS key FROM c),
+         |hot AS (SELECT ch, key FROM k GROUP BY 1,2 HAVING count(*) > 256),
+         |kept AS (SELECT k.* FROM k ANTI JOIN hot USING (ch, key)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        min(bit_count(xor(a.sim, b.sim))) AS h
+         |      FROM kept a JOIN kept b
+         |        ON a.ch = b.ch AND a.key = b.key AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, CAST(h AS BIGINT) AS hamming FROM p
+         |WHERE h <= 3""".stripMargin,
+    "dd_minhash_lsh" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('$dumpDir/minhash_sig.parquet/*.parquet')),
+         |g AS (SELECT * FROM read_parquet('$dumpDir/minhash_grams.parquet/*.parquet')),
+         |b AS (SELECT doc_id, band, list_slice(sig, band*4 + 1, band*4 + 4) AS bkey
+         |      FROM s, (SELECT unnest([0,1,2,3]) AS band)),
+         |hot AS (SELECT band, bkey FROM b GROUP BY 1,2 HAVING count(*) > 64),
+         |kept AS (SELECT b.* FROM b ANTI JOIN hot USING (band, bkey)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |         FROM kept a JOIN kept c
+         |           ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id),
+         |ver AS (SELECT id_a, id_b,
+         |          len(list_intersect(ga.gh, gb.gh)) AS i,
+         |          len(ga.gh) AS sa, len(gb.gh) AS sb
+         |        FROM cand JOIN g ga ON ga.doc_id = id_a
+         |                  JOIN g gb ON gb.doc_id = id_b)
+         |SELECT id_a, id_b,
+         |  round(CAST(i AS DOUBLE) / (sa + sb - i), 6) AS jaccard
+         |FROM ver WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.5""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |w AS (SELECT plane, w FROM read_parquet('$dumpDir/lsh_planes.parquet/*.parquet')),
+         |proj AS (SELECT e.vec_id, w.plane, list_dot_product(e.v, w.w) AS pr
+         |         FROM e CROSS JOIN w),
+         |buck AS (SELECT vec_id,
+         |           CAST(sum(CASE WHEN pr > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS b
+         |         FROM proj GROUP BY 1),
+         |qb AS (SELECT vec_id AS qid,
+         |         unnest([b, xor(b,1), xor(b,2), xor(b,4), xor(b,8), xor(b,16),
+         |                 xor(b,32), xor(b,64), xor(b,128)]) AS b
+         |       FROM buck WHERE vec_id < 3),
+         |cand AS (SELECT DISTINCT qb.qid, cb.vec_id AS cid
+         |         FROM qb JOIN buck cb ON qb.b = cb.b),
+         |scored AS (SELECT qid, cid,
+         |             round(list_dot_product(q.v, c.v) /
+         |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         |           FROM cand JOIN e q ON q.vec_id = qid JOIN e c ON c.vec_id = cid)
+         |SELECT qid, cid, cos,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         |FROM scored QUALIFY rk <= 3""".stripMargin,
     "f1_regex_replace" ->
       """SELECT p_partkey,
          regexp_replace(regexp_replace(lower(p_type),

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Rng
+
+/** Deterministic, partitioning-independent sampling (reference M2/F12:
+  * `az_ml_models.R:290-303` seeds every resample explicitly; the engine goes
+  * further and derives each row's multiplicity from a pure hash of
+  * (seed, row key), so the SAME sample is drawn at any parallelism, any
+  * partitioning, any executor count — the property the lineage manifests
+  * need for reproducible reruns).
+  *
+  * The resample is the POISSON bootstrap (the standard at-scale formulation):
+  * each row enters the sample m times with m ~ Poisson(rate), independently
+  * per row. Unlike index-based draws ("pick row i of N"), this needs no
+  * global dense index (no sort, no shuffle — a pure projection) and no total
+  * row count, so it survives 10^12 rows unchanged; the sample size
+  * concentrates tightly around rate·N (CV ~ 1/sqrt(rate·N)).
+  */
+object Sampling {
+
+  /** Per-row sample multiplicity m ~ Poisson(rate), derived ONLY from
+    * (seed, key): u = uniform01(hash(seed, key)), m = inverse-CDF. Knuth
+    * inversion is exact and O(m) — rate is small (<= ~20) in any bootstrap
+    * use, so the loop is a handful of iterations.
+    */
+  def poissonMultiplicity(rate: Double, seed: Long): UserDefinedFunction = {
+    require(rate > 0 && rate <= 30, s"rate $rate outside sane bootstrap range")
+    udf { (key: Long) =>
+      val u = Rng.double01(Rng.hash(seed, key, stream = 7L))
+      // inverse CDF: smallest m with CDF(m) >= u
+      var m = 0
+      var p = math.exp(-rate)
+      var cdf = p
+      while (cdf < u && m < 200) {
+        m += 1
+        p = p * rate / m
+        cdf += p
+      }
+      m
+    }
+  }
+
+  /** Poisson-bootstrap resample: every input row annotated with its
+    * multiplicity `m` (rows with m == 0 are dropped). Aggregation over the
+    * sample is `sum(m * expr)` / `sum(m)` — the resampled rows are never
+    * physically replicated, so a bootstrap over 10^12 rows costs one map
+    * pass. `keyCol` must be unique per row (entity/event id).
+    */
+  def poissonBootstrap(df: DataFrame, keyCol: String, rate: Double,
+      seed: Long): DataFrame =
+    df.withColumn("m",
+        poissonMultiplicity(rate, seed)(col(keyCol).cast("long")))
+      .where(col("m") > 0)
+
+  /** Bootstrap mean ± percentile-free normal CI of `value` over `reps`
+    * independent resamples (reference `az_ml_models.R:299-303` pattern):
+    * each rep r uses seed+r, so the whole family is reproducible. One
+    * grouped aggregation per rep over the SAME scan (union of projections —
+    * Spark shares the scan via reused exchange); no driver-side loops over
+    * data.
+    */
+  def bootstrapMeans(df: DataFrame, keyCol: String, value: String,
+      rate: Double, reps: Int, seed: Long): DataFrame = {
+    val perRep = (0 until reps).map { r =>
+      poissonBootstrap(df, keyCol, rate, seed + r)
+        .agg(lit(r).as("rep"),
+          (sum(col("m") * col(value)) / sum(col("m"))).as("boot_mean"),
+          sum(col("m")).as("n_sampled"))
+    }
+    perRep.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def keyed(n: Int, parts: Int) =
+    spark.range(0, n, 1, parts).select(col("id").as("k"),
+      (col("id") * 3 % 17).cast("double").as("v"))
+
+  test("poisson bootstrap is identical at any partitioning (the manifest property)") {
+    def digest(parts: Int): Seq[(Long, Int)] =
+      Sampling.poissonBootstrap(keyed(5000, parts), "k", rate = 0.5, seed = 7L)
+        .select(col("k"), col("m")).as[(Long, Int)].collect().sortBy(_._1).toSeq
+    val d1 = digest(1)
+    assert(d1 == digest(13) && d1 == digest(32))
+  }
+
+  test("different seeds draw different samples; same seed redraws the same") {
+    val a = Sampling.poissonBootstrap(keyed(2000, 8), "k", 0.5, seed = 1L)
+      .agg(sum("m")).head.getLong(0)
+    val a2 = Sampling.poissonBootstrap(keyed(2000, 8), "k", 0.5, seed = 1L)
+      .agg(sum("m")).head.getLong(0)
+    val b = Sampling.poissonBootstrap(keyed(2000, 8), "k", 0.5, seed = 2L)
+      .select(col("k"), col("m")).as[(Long, Int)].collect().toMap
+    val am = Sampling.poissonBootstrap(keyed(2000, 8), "k", 0.5, seed = 1L)
+      .select(col("k"), col("m")).as[(Long, Int)].collect().toMap
+    assert(a == a2)
+    assert(am != b)
+  }
+
+  test("multiplicities follow Poisson(rate): mean, variance, pmf within CLT bounds") {
+    val n = 50000
+    val rate = 0.5
+    val ms = Sampling.poissonMultiplicity(rate, seed = 42L)
+    val df = spark.range(n).select(ms(col("id")).as("m"))
+    val row = df.agg(avg(col("m")), var_samp(col("m")),
+      sum(when(col("m") === 0, 1).otherwise(0))).head
+    val (mean, vr, zeros) = (row.getDouble(0), row.getDouble(1), row.getLong(2))
+    // mean and variance of Poisson(r) are both r; 5-sigma CLT bands at n=50k
+    assert(math.abs(mean - rate) < 5 * math.sqrt(rate / n), s"mean $mean")
+    assert(math.abs(vr - rate) < 0.02, s"var $vr")
+    val p0 = math.exp(-rate)
+    assert(math.abs(zeros.toDouble / n - p0) < 5 * math.sqrt(p0 * (1 - p0) / n))
+  }
+
+  test("bootstrapMeans: reps are reproducible and concentrate around the true mean") {
+    val df = keyed(10000, 8)
+    val trueMean = df.agg(avg("v")).head.getDouble(0)
+    val reps = Sampling.bootstrapMeans(df, "k", "v", rate = 0.5, reps = 8, seed = 3L)
+      .select(col("rep"), col("boot_mean")).as[(Int, Double)].collect().toMap
+    val again = Sampling.bootstrapMeans(df, "k", "v", rate = 0.5, reps = 8, seed = 3L)
+      .select(col("rep"), col("boot_mean")).as[(Int, Double)].collect().toMap
+    assert(reps == again)
+    assert(reps.size == 8)
+    // each bootstrap mean is within a loose CLT band of the population mean
+    val sd = df.agg(stddev_samp("v")).head.getDouble(0)
+    reps.values.foreach { m =>
+      assert(math.abs(m - trueMean) < 6 * sd / math.sqrt(5000.0), s"boot mean $m vs $trueMean")
+    }
+  }
+}
