@@ -146,23 +146,43 @@ object QueriesText {
           col("embedding").as("cvec")), "qid", "qvec", "cid", "cvec", k = 3)
     }),
 
+    // ---- SIM: LSH-bucketed embedding near-dup pairs (scale path) ----------------
+    // the label-free twin of sim_cosine_pairs: blocking comes from the
+    // hyperplane LSH bucket, the shape that works when no label exists at
+    // 10^12 rows. Full DuckDB oracle via the dumped plane weights.
+    "sim_lsh_neardup" -> ((s, d) => {
+      dumpPlanes(s)
+      val e = t(s, d, "embeddings")
+      Similarity.cosineNearDupPairs(e, "vec_id", "embedding",
+        Similarity.lshBucket(col("embedding"), planes = 8, dims = 64, seed = 42L),
+        minCos = 0.3)
+    }),
+
     // ---- SIM: LSH-bucketed ANN (scale path) -------------------------------------
     // cross-engine oracle: the deterministic hyperplane weights are dumped as
     // a table, and DuckDB recomputes EVERYTHING — projections, sign-bit
     // buckets, Hamming-1 multiprobe, candidate join, exact cosine, top-k
     "ann_lsh_topk" -> ((s, d) => {
-      import s.implicits._
+      dumpPlanes(s)
       val e = t(s, d, "embeddings")
-      Dumps.write((0 until 8).map(p => (p,
-        (0 until 64).map(i => graft.corpus.Rng.double01(
-          graft.corpus.Rng.hash(42L, p.toLong * 100003L + i)) * 2.0 - 1.0).toArray))
-        .toDF("plane", "w"), "lsh_planes")
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.lshTopK(q, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
         "qid", "qvec", "cid", "cvec", k = 3, planes = 8, dims = 64)
     })
   )
+
+  /** Dump the deterministic hyperplane weights (pure function of the seed)
+    * for the LSH oracles — idempotent; called by every LSH query so the
+    * oracle finds the table regardless of which query ran.
+    */
+  private def dumpPlanes(s: SparkSession): Unit = {
+    import s.implicits._
+    Dumps.write((0 until 8).map(p => (p,
+      (0 until 64).map(i => graft.corpus.Rng.double01(
+        graft.corpus.Rng.hash(42L, p.toLong * 100003L + i)) * 2.0 - 1.0).toArray))
+      .toDF("plane", "w"), "lsh_planes")
+  }
 
   /** Exact 64-bit rotate-left-5 of BIGINT lambda var `a` in DuckDB: unsigned
     * reinterpretation + wraparound via HUGEINT, OR'd (here: added — the low 5
@@ -222,6 +242,22 @@ object QueriesText {
          |SELECT id_a, id_b,
          |  round(CAST(i AS DOUBLE) / (sa + sb - i), 6) AS jaccard
          |FROM ver WHERE CAST(i AS DOUBLE) / (sa + sb - i) >= 0.5""".stripMargin,
+    "sim_lsh_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |w AS (SELECT plane, w FROM read_parquet('$dumpDir/lsh_planes.parquet/*.parquet')),
+         |proj AS (SELECT e.vec_id, w.plane, list_dot_product(e.v, w.w) AS pr
+         |         FROM e CROSS JOIN w),
+         |buck AS (SELECT vec_id,
+         |           CAST(sum(CASE WHEN pr > 0 THEN 1 << plane ELSE 0 END) AS BIGINT) AS b
+         |         FROM proj GROUP BY 1),
+         |pairs AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+         |          FROM buck a JOIN buck c ON a.b = c.b AND a.vec_id < c.vec_id)
+         |SELECT id_a, id_b,
+         |  round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+         |FROM pairs JOIN e q ON q.vec_id = id_a JOIN e c ON c.vec_id = id_b
+         |WHERE round(list_dot_product(q.v, c.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.3""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |w AS (SELECT plane, w FROM read_parquet('$dumpDir/lsh_planes.parquet/*.parquet')),
