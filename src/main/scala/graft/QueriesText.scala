@@ -169,6 +169,18 @@ object QueriesText {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.lshTopK(q, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
         "qid", "qvec", "cid", "cvec", k = 3, planes = 8, dims = 64)
+    }),
+
+    // ---- SIM: IVF (inverted-file) ANN — the probe-based scale path --------------
+    // deterministic coarse centroids (smallest nlist ids) make the whole
+    // operator engine-portable: DuckDB recomputes cells, probes, and exact
+    // cosine ranking with no dumps at all
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopK(q, e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+        "qid", "qvec", "cid", "cvec", k = 3, nlist = 16, nprobe = 4)
     })
   )
 
@@ -380,6 +392,30 @@ object QueriesText {
          WHERE round(list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
            >= 0.3""",
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+         ca AS (SELECT e.vec_id, c.cent_id,
+             round(list_dot_product(v, cv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+           FROM e CROSS JOIN cents c),
+         corpuscell AS (SELECT vec_id, cent_id FROM (
+             SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+             FROM ca) WHERE rk = 1),
+         querycell AS (SELECT vec_id AS qid, cent_id FROM (
+             SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rk
+             FROM ca WHERE vec_id < 3) WHERE rk <= 4),
+         cand AS (SELECT DISTINCT qid, cc.vec_id AS cid
+           FROM querycell qc JOIN corpuscell cc ON qc.cent_id = cc.cent_id),
+         scored AS (SELECT qid, cid,
+             round(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+           FROM cand JOIN e q ON q.vec_id = qid JOIN e c ON c.vec_id = cid)
+         SELECT qid, cid, cos,
+           row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+         FROM scored QUALIFY rk <= 3""",
     "ann_brute_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 3),

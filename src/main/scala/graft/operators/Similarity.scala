@@ -72,6 +72,45 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** IVF-style (inverted-file) ANN: the corpus is coarsely partitioned into
+    * `nlist` cells by nearest centroid; each query probes only its `nprobe`
+    * nearest cells, then ranks candidates by exact cosine. At 10^12 rows the
+    * cell assignment is a broadcast-centroid map pass and the probe join is
+    * an equi-join on cell id — the classic alternative to [[lshTopK]] when
+    * recall per probe matters more than hash locality.
+    *
+    * Centroids here are the `nlist` corpus vectors with the smallest ids
+    * (deterministic, engine-portable); production would precompute k-means
+    * centroids offline and pass them in via `centroids`. Cosines are rounded
+    * to 6 dp BEFORE any argmin/ranking so cell assignment is reproducible
+    * across engines (ties break by centroid id).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      qid: String, qvec: String, cid: String, cvec: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      corpus.orderBy(col(cid)).limit(nlist)
+        .select(col(cid).as("__cent_id"), col(cvec).as("__cent_v")))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__ccos").desc, col("__cent_id").asc)
+      df.crossJoin(broadcast(cents))
+        .withColumn("__ccos", round(cosine(col(vec), col("__cent_v")), 6))
+        .withColumn("__crk", row_number().over(w))
+        .where(col("__crk") <= keep)
+        .drop("__cent_v", "__ccos", "__crk")
+    }
+    val corpusCells = assign(corpus, cid, cvec, keep = 1)
+    val queryCells = assign(queries, qid, qvec, keep = nprobe)
+    val scored = queryCells.join(corpusCells, Seq("__cent_id"))
+      .select(col(qid), col(cid),
+        round(cosine(col(qvec), col(cvec)), 6).as("cos"))
+      .groupBy(qid, cid).agg(max("cos").as("cos"))
+    val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid).asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** All near-dup pairs by embedding cosine >= minCos, blocked by an
     * equi-join key (e.g. a label or LSH bucket) to avoid O(n^2).
     */

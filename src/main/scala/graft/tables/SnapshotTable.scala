@@ -164,6 +164,28 @@ object SnapshotTable {
       .getOrElse(spark.emptyDataFrame)
   }
 
+  /** Per-partition lineage across ALL snapshots as a queryable DataFrame
+    * (snapshot_id, parent_id, bucket, dir, rows, watermark, digest,
+    * is_current) — the "work table over table metadata" surface (SURVEY.md
+    * §2.1 S9): incremental jobs diff `rows`/`digest` between snapshot ids to
+    * find what changed without touching data files.
+    */
+  def lineage(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentId(root)
+    val snapsDir = Paths.get(root, "snapshots")
+    val snaps =
+      if (!Files.exists(snapsDir)) Seq.empty[Snapshot]
+      else Files.list(snapsDir).iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+        .map(p => fromJson(Files.readString(p))).toSeq
+    snaps.sortBy(_.id)
+      .flatMap(s => s.buckets.map(b => (s.id, s.parent, b.bucket, b.dir,
+        b.rows, b.watermark, b.digest, cur.contains(s.id))))
+      .toDF("snapshot_id", "parent_id", "bucket", "dir", "rows", "watermark",
+        "digest", "is_current")
+  }
+
   /** Global watermark of a snapshot = min over buckets (all buckets complete
     * up to at least this event time).
     */

@@ -11,4 +11,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode -> Expression conversion (vs [[expression]]'s opaque
+    * wrapper): required when a functions-API Column tree must become a real
+    * (analyzer-resolvable) expression — e.g. FunctionRegistry builders that
+    * expand to built-in compositions.
+    */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

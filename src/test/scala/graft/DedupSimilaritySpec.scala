@@ -207,6 +207,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall brute=${brute.size} lsh=${lsh.size}")
   }
 
+  test("IVF ANN achieves high recall vs brute force on clustered vectors") {
+    val data = vecs(200, 16, 23L)
+    val e = data.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(Similarity.bruteForceTopK(q, c, "qid", "qvec", "cid", "cvec", 5))
+    val ivf = pairs(Similarity.ivfTopK(q, c, "qid", "qvec", "cid", "cvec", 5,
+      nlist = 10, nprobe = 3))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall brute=${brute.size} ivf=${ivf.size}")
+    // nprobe = nlist degenerates to exact: recall must be 1.0
+    val full = pairs(Similarity.ivfTopK(q, c, "qid", "qvec", "cid", "cvec", 5,
+      nlist = 10, nprobe = 10))
+    assert(full == brute, "nprobe=nlist IVF must equal brute force")
+  }
+
   test("cosine near-dup pairs: same-cluster pairs are found") {
     val data = vecs(50, 16, 29L)
     val e = data.toDF("vec_id", "embedding")

@@ -56,6 +56,23 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(plan.contains("hamming("), plan)
   }
 
+  test("GraftExtensions SQL functions equal their Column formulations") {
+    GraftExtensions.registerAll(spark)
+    val p = Corpus.Params(rows = 300, entities = 6)
+    Corpus.events(spark, p).select(col("caption")).createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_fingerprint(caption) AS fp, graft_lang_id(caption) AS lid,
+         graft_token_count(caption) AS tc, graft_quality(caption) AS q
+         FROM ext_docs""").collect()
+    val viaCol = spark.table("ext_docs").select(
+      graft.functions.Text.fingerprint(col("caption")).as("fp"),
+      graft.functions.Text.langId(col("caption")).as("lid"),
+      graft.functions.Text.tokenCount(col("caption")).cast("long").as("tc"),
+      graft.functions.Text.qualityScore(col("caption"), Corpus.Stopwords).as("q"))
+      .collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
+  }
+
   test("streaming session windows agree with batch sessionization counts") {
     val p = Corpus.Params(rows = 1500, entities = 8)
     val batch = Corpus.events(spark, p)

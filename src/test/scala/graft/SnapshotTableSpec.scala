@@ -71,6 +71,29 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(back1.count() == ev2.count())
   }
 
+  test("lineage table exposes per-bucket manifests across snapshots") {
+    val root = tmpRoot("lin")
+    val p = Corpus.Params(rows = 300, entities = 6)
+    val ev = Corpus.events(spark, p).drop("bytes")
+    SnapshotTable.commit(ev.filter(col("seq") < 200), root, "entity_id", "event_ms", buckets = 4)
+    SnapshotTable.commit(ev, root, "entity_id", "event_ms", buckets = 4)
+    val lin = SnapshotTable.lineage(spark, root)
+    // one row per (snapshot, non-empty bucket), manifests row-exact vs JSON
+    val wantRows = SnapshotTable.snapshot(root, 0L).buckets.size +
+      SnapshotTable.snapshot(root, 1L).buckets.size
+    assert(lin.count() == wantRows)
+    assert(lin.where(col("is_current")).select("snapshot_id").distinct().head.getLong(0) == 1L)
+    val s1 = SnapshotTable.snapshot(root, 1L)
+    val fromDf = lin.where(col("snapshot_id") === 1L)
+      .select("bucket", "rows", "watermark", "digest")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(fromDf == s1.buckets.map(b => (b.bucket, b.rows, b.watermark, b.digest)).toSet)
+    // incremental-diff use: changed buckets between snapshots via the table
+    val changed = lin.groupBy("bucket")
+      .agg(countDistinct(col("digest")).as("nd")).where(col("nd") > 1).count()
+    assert(changed > 0)
+  }
+
   test("watermarks track max event time per bucket") {
     val root = tmpRoot("wm")
     val ev = Corpus.events(spark, Corpus.Params(rows = 200, entities = 5)).drop("bytes")
