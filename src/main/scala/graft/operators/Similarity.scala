@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{UserDefinedFunction, Window}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -89,20 +89,41 @@ object Similarity {
       qid: String, qvec: String, cid: String, cvec: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       centroids: Option[DataFrame] = None): DataFrame = {
-    val cents = centroids.getOrElse(
+    // centroid table is tiny by construction (nlist rows); collecting it into
+    // the assignment closure makes cell assignment a PURE MAP over the corpus
+    // — zero shuffle, the property that matters at 10^12 rows. (A window/
+    // groupBy argmin would shuffle the whole corpus once per assignment.)
+    val cents: Array[(Long, Array[Double])] = centroids.getOrElse(
       corpus.orderBy(col(cid)).limit(nlist)
         .select(col(cid).as("__cent_id"), col(cvec).as("__cent_v")))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__ccos").desc, col("__cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("__ccos", round(cosine(col(vec), col("__cent_v")), 6))
-        .withColumn("__crk", row_number().over(w))
-        .where(col("__crk") <= keep)
-        .drop("__cent_v", "__ccos", "__crk")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    // nearest-`keep` cell ids for a vector: cosines in left-to-right double
+    // accumulation and rounded to 6 dp before comparison (ties -> smaller
+    // centroid id), so the assignment is reproducible across engines
+    def nearestCells(keep: Int): UserDefinedFunction = udf { (v: Seq[Float]) =>
+      val vd = v.toArray.map(_.toDouble)
+      var nv = 0.0
+      var i = 0
+      while (i < vd.length) { nv += vd(i) * vd(i); i += 1 }
+      val vn = math.sqrt(nv)
+      cents.map { case (id, cv) =>
+        var dot = 0.0; var cn = 0.0
+        var j = 0
+        while (j < cv.length) { dot += vd(j) * cv(j); cn += cv(j) * cv(j); j += 1 }
+        // HALF_UP like Spark's round() and DuckDB's round() — rint would be
+        // half-even and could diverge at an exact midpoint
+        val cos = BigDecimal(dot / (vn * math.sqrt(cn)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (-cos, id)
+      }.sorted.take(keep).map(_._2)
     }
-    val corpusCells = assign(corpus, cid, cvec, keep = 1)
-    val queryCells = assign(queries, qid, qvec, keep = nprobe)
+    val corpusCells = corpus.withColumn("__cent_id",
+      nearestCells(1)(col(cvec))(0))
+    val queryCells = queries.withColumn("__cent_id",
+      explode(nearestCells(nprobe)(col(qvec))))
     val scored = queryCells.join(corpusCells, Seq("__cent_id"))
       .select(col(qid), col(cid),
         round(cosine(col(qvec), col(cvec)), 6).as("cos"))
