@@ -50,7 +50,8 @@ object Bench {
     "q1_pricing_summary", "j1_inner_join", "j8_asof_join", "w_sessionize",
     "w_backfill", "w1_topk_per_group", "a1_replicate_summary", "a10_spearman",
     "f10_zscore_trainonly", "txt_token_stats", "txt_langid", "dd_exact",
-    "dd_ngram_jaccard", "dd_minhash_lsh", "ann_brute_topk")
+    "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "ann_brute_topk",
+    "ann_ivf_topk", "sim_lsh_neardup")
 
   private val CorpusShufflePartitions = 128
 
