@@ -95,11 +95,17 @@ object QueriesCorpus {
           round(avg(col("px_mean")), 4).as("avg_px_mean"),
           sum(when(col("phash_matches"), 1L).otherwise(0L)).as("n_phash_ok"))),
 
-    // multimodal: thumbnail extraction (binary out), summarized
-    "mm_thumbnails" -> ((s, _) =>
+    // multimodal: thumbnail extraction (binary out), summarized. The summary
+    // shape (one row per image, 8x8 target, 65-byte raw payload = tw*th+1
+    // magic header) is fully deterministic, so it gets a DuckDB oracle over
+    // the dumped event table; the thumb BYTES are ScalaTest-verified against
+    // the codec (box-filter golden values) — the honest stub boundary
+    "mm_thumbnails" -> ((s, _) => {
+      ensureDump(s)
       Multimodal.thumbnails(Corpus.images(s, P)).toDF()
         .select(col("image_id"), col("tw"), col("th"),
-          length(col("thumb")).as("thumb_bytes"))),
+          length(col("thumb")).as("thumb_bytes"))
+    }),
 
     // multimodal: frame sampling (flatMap one-to-many plumbing)
     "mm_frame_sample" -> ((s, _) =>
@@ -120,6 +126,33 @@ object QueriesCorpus {
       ensureDump(s)
       AsOf.joinSkewSafe(Corpus.probes(s, P), events5(s), "entity_id",
         "probe_ms", "event_ms", tie = Some("seq"))
+    }),
+
+    // the STREAMING as-of twin under the cross-engine gate: real Structured
+    // Streaming execution (AvailableNow over bounded file streams, sentinel
+    // rows advancing both watermarks) resolved by flatMapGroupsWithState,
+    // compared against DuckDB's native ASOF LEFT JOIN — same oracle family
+    // as corpus_probe_asof
+    "corpus_stream_asof" -> ((s, _) => {
+      ensureDump(s)
+      val ev5 = events5(s).withColumn("event_time", timestamp_millis(col("event_ms")))
+      val pr = Corpus.probes(s, P)
+      val maxTs = P.baseMs + 10L * 365 * 86400000L // far beyond any corpus ts
+      val evDir = java.nio.file.Files.createTempDirectory("graft-sasof-ev").toString
+      val prDir = java.nio.file.Files.createTempDirectory("graft-sasof-pr").toString
+      val sentinelEv = s.range(1).select(lit("zz_sentinel").as("entity_id"),
+        lit(maxTs).as("event_ms"), lit(0L).as("seq"), lit(0L).as("phash"),
+        lit("s").as("caption"), timestamp_millis(lit(maxTs)).as("event_time"))
+      val sentinelPr = s.range(1).select(lit("zz_sentinel").as("entity_id"),
+        lit(maxTs).as("probe_ms"), timestamp_millis(lit(maxTs)).as("probe_time"))
+      ev5.unionByName(sentinelEv).coalesce(1).write.mode("overwrite").parquet(evDir)
+      pr.unionByName(sentinelPr).coalesce(1).write.mode("overwrite").parquet(prDir)
+      val out = graft.streaming.StreamOps.asofAttach(
+        s.readStream.schema(ev5.schema).parquet(evDir),
+        s.readStream.schema(pr.schema).parquet(prDir),
+        watermark = "0 seconds")
+      graft.streaming.StreamOps.runToMemory(out.toDF(), "graft_stream_asof")
+      s.table("graft_stream_asof").where(col("entity_id") =!= "zz_sentinel")
     }),
 
     // image near-dup dedup: phash hamming<=3 pairs via 16-bit-chunk bucket
@@ -244,8 +277,25 @@ object QueriesCorpus {
          |SELECT id_a, id_b, CAST(h AS BIGINT) AS hamming FROM p
          |WHERE h <= 3""".stripMargin,
     "corpus_feature_vectors" -> (featsSql + "SELECT * FROM feats"),
+    "mm_thumbnails" ->
+      s"""SELECT image_id, 8 AS tw, 8 AS th, 8*8 + 1 AS thumb_bytes
+         |FROM read_parquet('$D/events.parquet/*.parquet')""".stripMargin,
     "corpus_probe_asof" -> probeAsofSql,
     "corpus_probe_asof_skew" -> probeAsofSql,
+    // streaming variant emits (entity, probe_ms) + attached event columns
+    // (no probe_time timestamp in the typed output)
+    "corpus_stream_asof" ->
+      s"""WITH evd AS (
+         |  SELECT entity_id, event_ms, seq, phash, caption,
+         |    row_number() OVER (PARTITION BY entity_id, event_ms ORDER BY seq DESC) AS mrn
+         |  FROM read_parquet('$D/events.parquet/*.parquet')),
+         |ev1 AS (SELECT entity_id, event_ms, seq, phash, caption FROM evd WHERE mrn = 1),
+         |p AS (SELECT * FROM read_parquet('$D/probes.parquet/*.parquet'))
+         |SELECT p.entity_id, p.probe_ms,
+         |  e.event_ms AS asof_time, e.seq AS asof_seq, e.phash AS asof_phash,
+         |  e.caption AS asof_caption
+         |FROM p ASOF LEFT JOIN ev1 e
+         |  ON p.entity_id = e.entity_id AND p.probe_ms >= e.event_ms""".stripMargin,
     "corpus_flagship_asof" ->
       (featsSql +
         s""", evd AS (

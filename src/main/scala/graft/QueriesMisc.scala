@@ -39,6 +39,19 @@ object QueriesMisc {
             .as("mean_price"))
     }),
 
+    // ---- M3: deterministic class upsampling -----------------------------------
+    // (train_functions.R:111 sampling="up"): per-class Poisson rates equalize
+    // expected class sizes; same dump-and-replay oracle shape as M2
+    "m3_class_upsample" -> ((s, d) => {
+      val up = graft.operators.Sampling.upsampleClasses(
+        t(s, d, "orders"), "o_orderkey", "o_orderstatus", seed = 11L)
+      Dumps.write(up.select(col("o_orderkey"), col("m")), "upsample_m")
+      up.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows_hit"), sum(col("m")).as("n_sampled"),
+          round(sum(col("m") * col("o_totalprice")) / sum(col("m")) + 1e-7, 4)
+            .as("mean_price"))
+    }),
+
     // ---- S2: snapshot-table commit/read roundtrip -----------------------------
     // two commits (initial + append) against a fresh root, then read-back of
     // the CURRENT snapshot — exercises bucket manifests, the changed-bucket
@@ -76,6 +89,14 @@ object QueriesMisc {
          |  round(sum(m.m * o.o_totalprice) / sum(m.m) + 1e-7, 4) AS mean_price
          |FROM orders o
          |JOIN read_parquet('${Dumps.Dir}/bootstrap_m.parquet/*.parquet') m
+         |  ON o.o_orderkey = m.o_orderkey
+         |GROUP BY 1""".stripMargin,
+    "m3_class_upsample" ->
+      s"""SELECT o.o_orderstatus, count(*) AS n_rows_hit,
+         |  CAST(sum(m.m) AS BIGINT) AS n_sampled,
+         |  round(sum(m.m * o.o_totalprice) / sum(m.m) + 1e-7, 4) AS mean_price
+         |FROM orders o
+         |JOIN read_parquet('${Dumps.Dir}/upsample_m.parquet/*.parquet') m
          |  ON o.o_orderkey = m.o_orderkey
          |GROUP BY 1""".stripMargin,
     "m1_fold_assignment" ->

@@ -56,6 +56,42 @@ object Sampling {
         poissonMultiplicity(rate, seed)(col(keyCol).cast("long")))
       .where(col("m") > 0)
 
+  /** Class upsampling (reference M3, `train_functions.R:111`
+    * `sampling="up"`): each class is Poisson-resampled at its own rate so
+    * expected class sizes equalize to the majority's — same deterministic
+    * per-row multiplicity machinery as [[poissonBootstrap]] (partitioning-
+    * independent; rows with m == 0 drop, m > 1 replicate by weight). One
+    * tiny class-count aggregate + one map pass; no shuffle of the fact side.
+    */
+  def upsampleClasses(df: DataFrame, keyCol: String, classCol: String,
+      seed: Long): DataFrame = {
+    val counts = df.groupBy(col(classCol)).count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val maxN = counts.values.max.toDouble
+    val rates = counts.map { case (c, n) => c -> maxN / n }
+    require(rates.values.max < 200,
+      s"class imbalance ${rates.values.max} beyond Poisson-inversion range")
+    val rateCol = rates.foldLeft(lit(Double.NaN)) { case (acc, (c, r)) =>
+      when(col(classCol) === lit(c), lit(r)).otherwise(acc)
+    }
+    // per-class rate via a tiny literal CASE chain; multiplicity from
+    // hash(seed, key) as in poissonBootstrap, inverse-CDF inlined per row
+    val m = udf { (key: Long, rate: Double) =>
+      val u = Rng.double01(Rng.hash(seed, key, stream = 7L))
+      var k = 0
+      var p = math.exp(-rate)
+      var cdf = p
+      while (cdf < u && k < 200) {
+        k += 1
+        p = p * rate / k
+        cdf += p
+      }
+      k
+    }
+    df.withColumn("m", m(col(keyCol).cast("long"), rateCol))
+      .where(col("m") > 0)
+  }
+
   /** Bootstrap mean ± percentile-free normal CI of `value` over `reps`
     * independent resamples (reference `az_ml_models.R:299-303` pattern):
     * each rep r uses seed+r, so the whole family is reproducible. One

@@ -49,6 +49,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(zeros.toDouble / n - p0) < 5 * math.sqrt(p0 * (1 - p0) / n))
   }
 
+  test("class upsampling equalizes expected class sizes, partitioning-independently") {
+    val df = spark.range(0, 6000, 1, 8).select(col("id").as("k"),
+      when(col("id") % 10 < 7, "A").when(col("id") % 10 < 9, "B").otherwise("C")
+        .as("cls"))
+    val up = Sampling.upsampleClasses(df, "k", "cls", seed = 5L)
+    val sizes = up.groupBy("cls").agg(sum("m").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // majority class has rate 1 (expected size = its own count); minorities
+    // inflate to ~the same size; 5-sigma Poisson bands
+    val maj = 4200.0
+    sizes.values.foreach(n =>
+      assert(math.abs(n - maj) < 5 * math.sqrt(maj), s"sizes=$sizes"))
+    // identical at different partitioning
+    val up13 = Sampling.upsampleClasses(
+      spark.range(0, 6000, 1, 13).select(col("id").as("k"),
+        when(col("id") % 10 < 7, "A").when(col("id") % 10 < 9, "B").otherwise("C")
+          .as("cls")), "k", "cls", seed = 5L)
+    assert(up.select("k", "m").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq ==
+      up13.select("k", "m").collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq)
+  }
+
   test("bootstrapMeans: reps are reproducible and concentrate around the true mean") {
     val df = keyed(10000, 8)
     val trueMean = df.agg(avg("v")).head.getDouble(0)
