@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array columns in double precision. */
+  /** Dot product of two array columns in double precision. REFERENCE
+    * formulation (interpreted HOF) — operators use [[cosineFast]], the typed
+    * tight-loop twin producing the EXACT same doubles (left-to-right
+    * accumulation, asserted in DedupSimilaritySpec); this form remains the
+    * spec oracle.
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -21,6 +26,22 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Typed cosine: bit-identical to [[cosine]] (same multiply/add order,
+    * double precision) at ~µs/pair instead of an interpreted expression tree
+    * per element — the round-1 MinHash lesson applied to the vector path.
+    */
+  val cosineFast: UserDefinedFunction = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var dotp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dotp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dotp / (math.sqrt(na) * math.sqrt(nb))
+  }
 
   /** Exact top-k cosine neighbors of each query vector (brute force).
     * Query side is broadcast (queries are few); the corpus is never
@@ -31,25 +52,53 @@ object Similarity {
       qid: String, qvec: String, cid: String, cvec: String, k: Int): DataFrame = {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(col(qid), col(cid),
-        round(cosine(col(qvec), col(cvec)), 6).as("cos"))
+        round(cosineFast(col(qvec), col(cvec)), 6).as("cos"))
     val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid).asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits from deterministic
     * pseudo-random hyperplanes (plane p, dim i weight = a pure hash). Rows
-    * in the same bucket are near in angle with high probability.
+    * in the same bucket are near in angle with high probability. REFERENCE
+    * formulation; operators use [[lshBucketFast]] (same bits, one loop).
     */
   def lshBucket(vec: Column, planes: Int, dims: Int, seed: Long): Column =
     (0 until planes).map { p =>
-      val weights = (0 until dims).map(i =>
-        graft.corpus.Rng.double01(
-          graft.corpus.Rng.hash(seed, p.toLong * 100003L + i)) * 2.0 - 1.0)
+      val weights = planeWeights(p, dims, seed)
       val proj = aggregate(
-        zip_with(vec, typedLit(weights), (x, wgt) => x.cast("double") * wgt),
+        zip_with(vec, typedLit(weights.toSeq), (x, wgt) => x.cast("double") * wgt),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Deterministic weights of hyperplane `p` (shared by both formulations
+    * and the oracle dump).
+    */
+  def planeWeights(p: Int, dims: Int, seed: Long): Array[Double] =
+    Array.tabulate(dims)(i => graft.corpus.Rng.double01(
+      graft.corpus.Rng.hash(seed, p.toLong * 100003L + i)) * 2.0 - 1.0)
+
+  /** Typed LSH bucket id: bit-identical to [[lshBucket]] (per-plane
+    * projections accumulate left-to-right in double), one JIT'd loop per row
+    * instead of `planes` interpreted folds.
+    */
+  def lshBucketFast(planes: Int, dims: Int, seed: Long): UserDefinedFunction = {
+    val w: Array[Array[Double]] = Array.tabulate(planes)(planeWeights(_, dims, seed))
+    udf { (v: Seq[Float]) =>
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val wp = w(p)
+        var proj = 0.0
+        var i = 0
+        val n = math.min(v.length, dims)
+        while (i < n) { proj += v(i).toDouble * wp(i); i += 1 }
+        if (proj > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+  }
 
   /** LSH-bucketed ANN: queries and corpus are bucketed by hyperplane sign
     * pattern; candidates come from an equi-join on the bucket id (plus the
@@ -60,13 +109,15 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       qid: String, qvec: String, cid: String, cvec: String,
       k: Int, planes: Int = 8, dims: Int, seed: Long = 42L): DataFrame = {
-    val cb = corpus.withColumn("__bucket", lshBucket(col(cvec), planes, dims, seed))
+    val cb = corpus.withColumn("__bucket",
+      lshBucketFast(planes, dims, seed)(col(cvec)))
     // probe own bucket + all hamming-1 buckets (multi-probe LSH)
-    val qb = queries.withColumn("__b0", lshBucket(col(qvec), planes, dims, seed))
+    val qb = queries.withColumn("__b0",
+      lshBucketFast(planes, dims, seed)(col(qvec)))
       .withColumn("__bucket", explode(array(
         (col("__b0") +: (0 until planes).map(p => col("__b0").bitwiseXOR(lit(1L << p)))): _*)))
     val scored = qb.join(cb, Seq("__bucket"))
-      .select(col(qid), col(cid), round(cosine(col(qvec), col(cvec)), 6).as("cos"))
+      .select(col(qid), col(cid), round(cosineFast(col(qvec), col(cvec)), 6).as("cos"))
       .groupBy(qid, cid).agg(max("cos").as("cos"))
     val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid).asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -126,7 +177,7 @@ object Similarity {
       explode(nearestCells(nprobe)(col(qvec))))
     val scored = queryCells.join(corpusCells, Seq("__cent_id"))
       .select(col(qid), col(cid),
-        round(cosine(col(qvec), col(cvec)), 6).as("cos"))
+        round(cosineFast(col(qvec), col(cvec)), 6).as("cos"))
       .groupBy(qid, cid).agg(max("cos").as("cos"))
     val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid).asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -142,7 +193,7 @@ object Similarity {
       .join(t.toDF("id_b", "vb", "__blk"), Seq("__blk"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(cosineFast(col("va"), col("vb")), 6).as("cos"))
       .where(col("cos") >= minCos)
   }
 }

@@ -207,6 +207,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall brute=${brute.size} lsh=${lsh.size}")
   }
 
+  test("cosineFast and lshBucketFast are bit-identical to the HOF reference forms") {
+    val e = vecs(120, 16, 31L).toDF("vec_id", "embedding")
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val joined = a.crossJoin(b).where(col("ida") < col("idb")).limit(2000)
+      .select(
+        Similarity.cosine(col("va"), col("vb")).as("c_ref"),
+        Similarity.cosineFast(col("va"), col("vb")).as("c_fast"))
+    assert(joined.filter(col("c_ref") =!= col("c_fast")).count() == 0)
+    val buckets = e.select(
+      Similarity.lshBucket(col("embedding"), 8, 16, 42L).as("b_ref"),
+      Similarity.lshBucketFast(8, 16, 42L)(col("embedding")).as("b_fast"))
+    assert(buckets.filter(col("b_ref") =!= col("b_fast")).count() == 0)
+  }
+
   test("IVF ANN achieves high recall vs brute force on clustered vectors") {
     val data = vecs(200, 16, 23L)
     val e = data.toDF("vec_id", "embedding")
