@@ -134,6 +134,20 @@ object StreamOps {
     out.iterator
   }
 
+  /** Drive a streaming query synchronously into a parquet file sink with an
+    * EXPLICIT checkpoint — the resumable path: a later call with the same
+    * checkpoint+sink processes only source files not yet committed, and the
+    * file-sink manifest gives exactly-once output across restarts (the
+    * streaming twin of the snapshot table's kill/rerun contract).
+    */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream.outputMode(OutputMode.Append())
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
   /** Drive a streaming query synchronously over a bounded source into an
     * in-memory table (test/bench harness path). Append mode only emits
     * watermark-closed windows (the last open session per key stays pending);

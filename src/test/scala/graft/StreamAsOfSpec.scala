@@ -68,6 +68,69 @@ class StreamAsOfSpec extends AnyFunSuite {
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }
 
+  test("as-of resumes from checkpoint across a stop/restart with exactly-once output") {
+    val p = Corpus.Params(rows = 800, entities = 6)
+    val ev = Corpus.events(spark, p)
+      .select(col("entity_id"), col("event_ms"), col("seq"), col("phash"),
+        col("caption"), col("event_time"))
+    val pr = Corpus.probes(spark, p)
+    val batch = AsOf.join(pr,
+        ev.select("entity_id", "event_ms", "seq", "phash", "caption"),
+        "entity_id", "probe_ms", "event_ms", tie = Some("seq"))
+      .select(col("entity_id"), col("probe_ms"), col("asof_time"), col("asof_seq"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toSet
+
+    val evDir = java.nio.file.Files.createTempDirectory("graft-ckpt-ev").toString
+    val prDir = java.nio.file.Files.createTempDirectory("graft-ckpt-pr").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ckpt-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt-cp").toString
+    val midMs = ev.agg(expr("percentile_approx(event_ms, 0.5)")).head
+      .get(0).toString.toDouble.toLong
+    // phase 1: only the first half of the timeline is available
+    ev.where(col("event_ms") <= midMs).coalesce(1)
+      .write.mode("append").parquet(evDir)
+    pr.where(col("probe_ms") <= midMs).coalesce(1)
+      .write.mode("append").parquet(prDir)
+    def runOnce(): Unit = StreamOps.runToParquet(
+      StreamOps.asofAttach(
+        spark.readStream.schema(ev.schema).parquet(evDir),
+        spark.readStream.schema(pr.schema).parquet(prDir),
+        watermark = "0 seconds").toDF(),
+      outDir, ckptDir)
+    runOnce() // query STOPS here (AvailableNow) — state lives in the checkpoint
+    val afterPhase1 = scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(0L)
+
+    // phase 2: the rest + far-future sentinels arrive; a NEW query instance
+    // resumes from the same checkpoint and must emit each probe exactly once
+    val maxTs = pr.agg(max(col("probe_ms"))).head.getLong(0) + 86400000L
+    ev.where(col("event_ms") > midMs)
+      .unionByName(Seq(("zz_sentinel", maxTs, 0L, 0L, "s")).toDF(
+        "entity_id", "event_ms", "seq", "phash", "caption")
+        .withColumn("event_time", timestamp_millis(col("event_ms"))))
+      .coalesce(1).write.mode("append").parquet(evDir)
+    pr.where(col("probe_ms") > midMs)
+      .unionByName(Seq(("zz_sentinel", maxTs)).toDF("entity_id", "probe_ms")
+        .withColumn("probe_time", timestamp_millis(col("probe_ms"))))
+      .coalesce(1).write.mode("append").parquet(prDir)
+    runOnce()
+
+    val streamed = spark.read.parquet(outDir)
+      .where(col("entity_id") =!= "zz_sentinel")
+      .select(col("entity_id"), col("probe_ms"), col("asof_time"), col("asof_seq"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(streamed.length == streamed.toSet.size, "duplicate emissions across restart")
+    assert(streamed.length > afterPhase1, "phase 2 emitted nothing new")
+    assert(streamed.toSet == batch,
+      s"stream-only=${(streamed.toSet -- batch).take(3)} batch-only=${(batch -- streamed.toSet).take(3)}")
+  }
+
   test("as-of state stays bounded: old events collapse to one per entity") {
     // direct unit check of the resolver's pruning invariant via the public
     // operator on a two-batch file sequence is implicit in the first test;
