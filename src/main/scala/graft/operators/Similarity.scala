@@ -32,15 +32,18 @@ object Similarity {
     * per element — the round-1 MinHash lesson applied to the vector path.
     */
   val cosineFast: UserDefinedFunction = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dotp = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dotp += x * y; na += x * x; nb += y * y
-      i += 1
+    if (a == null || b == null) null
+    else {
+      var dotp = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dotp += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      java.lang.Double.valueOf(dotp / (math.sqrt(na) * math.sqrt(nb)))
     }
-    dotp / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Exact top-k cosine neighbors of each query vector (brute force).
@@ -85,18 +88,21 @@ object Similarity {
   def lshBucketFast(planes: Int, dims: Int, seed: Long): UserDefinedFunction = {
     val w: Array[Array[Double]] = Array.tabulate(planes)(planeWeights(_, dims, seed))
     udf { (v: Seq[Float]) =>
-      var bucket = 0L
-      var p = 0
-      while (p < planes) {
-        val wp = w(p)
-        var proj = 0.0
-        var i = 0
-        val n = math.min(v.length, dims)
-        while (i < n) { proj += v(i).toDouble * wp(i); i += 1 }
-        if (proj > 0) bucket |= (1L << p)
-        p += 1
+      if (v == null) null
+      else {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val wp = w(p)
+          var proj = 0.0
+          var i = 0
+          val n = math.min(v.length, dims)
+          while (i < n) { proj += v(i).toDouble * wp(i); i += 1 }
+          if (proj > 0) bucket |= (1L << p)
+          p += 1
+        }
+        java.lang.Long.valueOf(bucket)
       }
-      bucket
     }
   }
 
@@ -181,6 +187,64 @@ object Similarity {
       .groupBy(qid, cid).agg(max("cos").as("cos"))
     val w = Window.partitionBy(col(qid)).orderBy(col("cos").desc, col(cid).asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Deterministic spherical k-means (Lloyd) over an embedding column — the
+    * offline centroid trainer for [[ivfTopK]]. Seeded init = the k corpus
+    * vectors with smallest ids; per iteration: assignment is a broadcast-
+    * centroid MAP pass (cosine, ties to smaller cell), recomputation
+    * shuffles only (cell, dim, value) triples (posexplode + groupBy avg) —
+    * never full vectors — then centroids are L2-normalized and rounded to
+    * 6 dp on the driver (the rounding pins assignments against float-sum
+    * order noise, so reruns at different partitionings converge to the same
+    * cells; exact bitwise determinism holds at a fixed partitioning).
+    * Returns (cent_id, cent_v float vector), directly consumable by
+    * `ivfTopK(centroids = Some(...))`.
+    */
+  def kmeansCentroids(corpus: DataFrame, cid: String, cvec: String,
+      k: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents: Array[Array[Double]] = corpus.orderBy(col(cid)).limit(k)
+      .select(col(cvec)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val dims = cents.head.length
+    for (_ <- 0 until iters) {
+      val cs = cents // stable capture for the closure
+      val assign = udf { (v: Seq[Float]) =>
+        var best = 0; var bestCos = Double.MinValue
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
+          var dot = 0.0; var nv = 0.0; var nc = 0.0
+          var i = 0
+          while (i < dims) {
+            val x = v(i).toDouble
+            dot += x * cv(i); nv += x * x; nc += cv(i) * cv(i)
+            i += 1
+          }
+          val cos = dot / (math.sqrt(nv) * math.sqrt(nc))
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        best
+      }
+      val sums = corpus
+        .select(assign(col(cvec)).as("__cell"), posexplode(col(cvec)).as(Seq("__dim", "__x")))
+        .groupBy(col("__cell"), col("__dim"))
+        .agg(avg(col("__x")).as("__m"))
+        .as[(Int, Int, Double)].collect()
+      val next = Array.fill(k)(new Array[Double](dims))
+      sums.foreach { case (cell, dim, m) => next(cell)(dim) = m }
+      cents = next.zipWithIndex.map { case (v, i) =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) cents(i) // empty cell keeps its previous centroid
+        else v.map(x => math.rint(x / n * 1e6) / 1e6)
+      }
+    }
+    cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
+      .toSeq.toDF("cent_id", "cent_v")
   }
 
   /** All near-dup pairs by embedding cosine >= minCos, blocked by an

@@ -241,6 +241,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full == brute, "nprobe=nlist IVF must equal brute force")
   }
 
+  test("spherical k-means recovers planted clusters; trained IVF beats id-centroids") {
+    val data = vecs(250, 16, 37L)
+    val e = data.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 5, iters = 3)
+    assert(cents.count() == 5)
+    // purity: vectors of one planted cluster (i % 5) land in one k-means cell
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = Similarity.ivfTopK(q, c, "qid", "qvec", "cid", "cvec",
+      k = 250, nlist = 5, nprobe = 1, centroids = Some(cents))
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // with nprobe=1, query q only sees corpus vectors in its own cell; planted
+    // clusters are well separated, so every returned neighbor shares q's cluster
+    val impure = assigned.count { case (a, b) => a % 5 != b % 5 }
+    assert(impure == 0, s"$impure cross-cluster pairs leaked through the cells")
+    // and each query finds its full cluster (250/5 = 50 members)
+    val perQuery = assigned.groupBy(_._1).map(_._2.size)
+    assert(perQuery.forall(_ == 50), s"cluster sizes: ${perQuery.toSeq.distinct}")
+  }
+
   test("cosine near-dup pairs: same-cluster pairs are found") {
     val data = vecs(50, 16, 29L)
     val e = data.toDF("vec_id", "embedding")
