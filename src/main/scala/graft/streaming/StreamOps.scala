@@ -134,6 +134,37 @@ object StreamOps {
     out.iterator
   }
 
+  /** Ingest a stream into a [[graft.tables.SnapshotTable]]: every non-empty
+    * micro-batch appends copy-on-write — new content = current snapshot ∪
+    * batch, committed with per-bucket lineage manifests and the atomic
+    * pointer; buckets the batch does not touch are NOT rewritten (digest
+    * diff), exactly Iceberg's COW commit shape. Combined with the table's
+    * kill/rerun idempotence and the stream's checkpoint, a crashed ingester
+    * resumes at the failed batch and re-commits it without duplicating
+    * earlier ones.
+    */
+  def commitStream(events: DataFrame, root: String, entityCol: String,
+      timeCol: String, checkpointDir: String, buckets: Int = 16): StreamingQuery = {
+    import graft.tables.SnapshotTable
+    val q = events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val full = SnapshotTable.currentId(root) match {
+            case Some(_) => SnapshotTable.read(spark, root)
+              .drop(SnapshotTable.BucketCol).unionByName(batch.toDF())
+            case None => batch.toDF()
+          }
+          SnapshotTable.commit(full, root, entityCol, timeCol, buckets): Unit
+        }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
   /** Drive a streaming query synchronously into a parquet file sink with an
     * EXPLICIT checkpoint — the resumable path: a later call with the same
     * checkpoint+sink processes only source files not yet committed, and the

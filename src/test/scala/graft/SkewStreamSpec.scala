@@ -102,6 +102,32 @@ class SkewStreamSpec extends AnyFunSuite {
       s"stream=$streamed\nbatch=$sessions")
   }
 
+  test("streaming snapshot ingestion: per-batch commits, content equals batch union") {
+    val p = Corpus.Params(rows = 600, entities = 8)
+    val ev = Corpus.events(spark, p).drop("bytes")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ingest-src").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-root").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString
+    // two file arrivals with a full stop between (AvailableNow each time)
+    ev.where(col("seq") < 300).coalesce(1).write.mode("append").parquet(srcDir)
+    StreamOps.commitStream(
+      spark.readStream.schema(ev.schema).parquet(srcDir),
+      root, "entity_id", "event_ms", ckpt, buckets = 8)
+    val id1 = graft.tables.SnapshotTable.currentId(root)
+    assert(id1.contains(0L), s"first commit id=$id1")
+    ev.where(col("seq") >= 300).coalesce(1).write.mode("append").parquet(srcDir)
+    StreamOps.commitStream(
+      spark.readStream.schema(ev.schema).parquet(srcDir),
+      root, "entity_id", "event_ms", ckpt, buckets = 8)
+    assert(graft.tables.SnapshotTable.currentId(root).contains(1L))
+    val back = graft.tables.SnapshotTable.read(spark, root)
+      .drop(graft.tables.SnapshotTable.BucketCol)
+    assert(back.count() == 600)
+    // lineage: second snapshot's buckets account for all 600 rows
+    val lin = graft.tables.SnapshotTable.lineage(spark, root)
+    assert(lin.where(col("snapshot_id") === 1L).agg(sum("rows")).head.getLong(0) == 600L)
+  }
+
   test("streaming exact dedup keeps one row per text within the watermark") {
     // bounded corpus with PLANTED exact dups: every 10th caption re-arrives
     // later (well inside the watermark) and must be dropped
