@@ -128,6 +128,24 @@ object QueriesCorpus {
         "probe_ms", "event_ms", tie = Some("seq"))
     }),
 
+    // incremental feature maintenance under the cross-engine gate: features
+    // for the second half of the corpus computed ONLY from the compact
+    // per-entity state of the first half (historical feature table never
+    // read) — the oracle recomputes the FULL corpus start-to-finish in
+    // DuckDB and filters to the slice, so any carry error shows as a hash
+    // mismatch
+    "corpus_feature_increment" -> ((s, _) => {
+      ensureDump(s)
+      val ev = Corpus.events(s, P)
+      val dim = Corpus.dimFeatures(s, P.seed)
+      val ed = FeaturePipeline.entityDim(s, P.entities)
+      val split = P.rows / 2
+      val state = FeaturePipeline.featureState(
+        FeaturePipeline.features(ev.where(col("seq") < split), dim, ed))
+      FeaturePipeline.featuresIncremental(state,
+        ev.where(col("seq") >= split), dim, ed)
+    }),
+
     // the STREAMING as-of twin under the cross-engine gate: real Structured
     // Streaming execution (AvailableNow over bounded file streams, sentinel
     // rows advancing both watermarks) resolved by flatMapGroupsWithState,
@@ -277,6 +295,8 @@ object QueriesCorpus {
          |SELECT id_a, id_b, CAST(h AS BIGINT) AS hamming FROM p
          |WHERE h <= 3""".stripMargin,
     "corpus_feature_vectors" -> (featsSql + "SELECT * FROM feats"),
+    "corpus_feature_increment" ->
+      (featsSql + s"SELECT * FROM feats WHERE seq >= ${P.rows / 2}"),
     "mm_thumbnails" ->
       s"""SELECT image_id, 8 AS tw, 8 AS th, 8*8 + 1 AS thumb_bytes
          |FROM read_parquet('$D/events.parquet/*.parquet')""".stripMargin,

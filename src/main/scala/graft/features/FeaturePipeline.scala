@@ -319,6 +319,93 @@ object FeaturePipeline {
         "carry_sparse", "prev_open")
   }
 
+  /** Compact per-entity resume state extracted from a feature table — the
+    * carry needed to continue every temporal feature from the table's end:
+    * row/quality prefix sums, last event (ms, seq, phash), total session
+    * count, open-session length, latest sparse value. |entities| rows; this
+    * is what a 100 TB pipeline persists per snapshot so appends never touch
+    * the historical feature table again.
+    */
+  def featureState(feats: DataFrame): DataFrame =
+    feats.groupBy(col("entity_id")).agg(
+      count(lit(1)).as("st_n"),
+      sum(col("quality")).as("st_qsum"),
+      max(struct(col("event_ms"), col("seq"), col("phash"))).as("__last"),
+      max(struct(col("event_ms"), col("seq"), col("session_idx"),
+        col("session_pos"))).as("__lastSess"),
+      max(when(col("quality_filled").isNotNull,
+        struct(col("event_ms"), col("seq"), col("quality_filled")))).as("__lastFill"))
+      .select(col("entity_id"), col("st_n"), col("st_qsum"),
+        col("__last")("event_ms").as("st_last_ms"),
+        col("__last")("phash").as("st_last_phash"),
+        (col("__lastSess")("session_idx") + 1L).as("st_sess_cnt"),
+        (col("__lastSess")("session_pos") + 1L).as("st_open_len"),
+        col("__lastFill")("quality_filled").as("st_last_sparse"))
+
+  /** Incremental feature maintenance: compute feature vectors for an
+    * APPEND-ONLY slice of new events, continuing exactly where `state`
+    * (from [[featureState]]) left off — output rows equal what a full
+    * recompute over old ∪ new would produce for the new rows (equivalence
+    * asserted in GoldenFeatureSpec; DuckDB-oracle'd via the full-recompute
+    * SQL filtered to the slice).
+    *
+    * Scale shape: the historical feature table is never read — the carry is
+    * the |entities|-row state table, broadcast into one projection after the
+    * slice's own windows (same boundary-repair algebra as
+    * [[featuresSkewSafe]]'s bucket merge). Precondition: every new event is
+    * strictly later than its entity's `st_last_ms` (append-only ingest, the
+    * snapshot watermark contract).
+    */
+  def featuresIncremental(state: DataFrame, newEvents: DataFrame,
+      dim: DataFrame, entDim: DataFrame,
+      gapMs: Long = Corpus.SessionGapMs): DataFrame = {
+    val scalar = scalarFeatures(newEvents, dim, entDim)
+    val w = Window.partitionBy(col("entity_id")).orderBy(col("event_ms"), col("seq"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = scalar
+      .withColumn("__lrn", row_number().over(w))
+      .withColumn("__lgap", col("event_ms") - lag(col("event_ms"), 1).over(w))
+      .withColumn("__lphash_prev", lag(col("phash"), 1).over(w))
+      .withColumn("__lnew",
+        when(col("__lgap").isNull || col("__lgap") > gapMs, 1L).otherwise(0L))
+      .withColumn("__lsess", sum(col("__lnew")).over(wRun))
+      .withColumn("__lpos",
+        col("__lrn") - last(when(col("__lnew") === 1L, col("__lrn")), ignoreNulls = true).over(wRun))
+      .withColumn("__lqsum", sum(col("quality")).over(wRun))
+      .withColumn("__lfilled", last(col("sparse_quality"), ignoreNulls = true).over(wRun))
+    local.join(broadcast(state), Seq("entity_id"), "left")
+      // boundary repair — identical algebra to featuresSkewSafe's merge,
+      // with the state table playing the role of "all earlier buckets".
+      // bnew is a per-entity property of the BOUNDARY (gap between the
+      // slice's first row and the carried last event), constant across rows
+      .withColumn("__first_ms",
+        min(col("event_ms")).over(Window.partitionBy(col("entity_id"))))
+      .withColumn("__bnew",
+        when(col("st_last_ms").isNull ||
+          col("__first_ms") - col("st_last_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("dt_prev_ms",
+        when(col("__lrn") > 1, col("__lgap"))
+          .otherwise(col("event_ms") - col("st_last_ms")))
+      .withColumn("__prev_phash",
+        when(col("__lrn") > 1, col("__lphash_prev")).otherwise(col("st_last_phash")))
+      .withColumn("phash_prev_hamming",
+        graft.functions.HammingDistance.hamming(col("phash"), col("__prev_phash")))
+      .withColumn("session_idx",
+        coalesce(col("st_sess_cnt"), lit(0L)) + col("__lsess") - 1L
+          - (lit(1L) - col("__bnew")))
+      .withColumn("session_pos",
+        (col("__lpos") + when(col("__lsess") === 1L && col("__bnew") === 0L,
+          col("st_open_len")).otherwise(lit(0L))).cast("int"))
+      .withColumn("quality_filled", coalesce(col("__lfilled"), col("st_last_sparse")))
+      .withColumn("running_quality_mean",
+        round((coalesce(col("st_qsum"), lit(0.0)) + col("__lqsum"))
+          / (coalesce(col("st_n"), lit(0L)) + col("__lrn")) + lit(1.7e-8), 6))
+      .drop("__lrn", "__lgap", "__lphash_prev", "__lnew", "__lsess", "__lpos",
+        "__lqsum", "__lfilled", "__prev_phash", "__bnew", "__first_ms",
+        "st_n", "st_qsum", "st_last_ms", "st_last_phash", "st_sess_cnt",
+        "st_open_len", "st_last_sparse", "bytes", "caption", "fmt", "event_time")
+  }
+
   /** Attach the point-in-time feature vector to arbitrary (entity, t) probes
     * — the engine's flagship query: "the feature vector in effect at t".
     */

@@ -140,6 +140,45 @@ class GoldenFeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental features from state equal the full recompute on the new slice") {
+    import org.apache.spark.sql.functions._
+    val p = Corpus.Params(rows = 2400, entities = 10)
+    val ev = Corpus.events(spark, p)
+    val dim = Corpus.dimFeatures(spark, p.seed)
+    val ed = FeaturePipeline.entityDim(spark, p.entities)
+    val split = 1500L // append-only in seq AND per-entity time (events are
+                      // time-ordered by seq in the generator's global grid)
+    val full = FeaturePipeline.features(ev, dim, ed)
+    val state = FeaturePipeline.featureState(full.where(col("seq") < split))
+    val inc = FeaturePipeline.featuresIncremental(state,
+      ev.where(col("seq") >= split), dim, ed)
+    val want = full.where(col("seq") >= split)
+    assert(inc.columns.sorted.sameElements(want.columns.sorted),
+      s"schemas differ: ${inc.columns.sorted.mkString(",")} vs ${want.columns.sorted.mkString(",")}")
+    def rows(df: org.apache.spark.sql.DataFrame): Map[(String, Long), org.apache.spark.sql.Row] =
+      df.collect().map(r => (r.getAs[String]("entity_id"), r.getAs[Long]("seq")) -> r).toMap
+    val a = rows(want)
+    val b = rows(inc)
+    assert(a.keySet == b.keySet)
+    val exactCols = want.columns.filterNot(_ == "running_quality_mean").sorted
+    a.keys.foreach { k =>
+      exactCols.foreach { c =>
+        val (x, y) = (a(k).getAs[Any](c), b(k).getAs[Any](c))
+        assert(x == y, s"key=$k col=$c full=$x incremental=$y")
+      }
+      val (qx, qy) = (a(k).getAs[Double]("running_quality_mean"),
+        b(k).getAs[Double]("running_quality_mean"))
+      assert(math.abs(qx - qy) <= 1.5e-6, s"key=$k running_quality_mean $qx vs $qy")
+    }
+    // entities absent from the state (all-new) still work: nothing carried
+    val incFresh = FeaturePipeline.featuresIncremental(
+      state.where(col("entity_id") =!= "e00000"),
+      ev.where(col("seq") >= split), dim, ed)
+    val freshE0 = incFresh.where(col("entity_id") === "e00000")
+      .agg(min(col("session_idx")), min(col("session_pos"))).head
+    assert(freshE0.getLong(0) == 0L && freshE0.getInt(1) == 0)
+  }
+
   test("captions are byte-equal end to end (input_hint invariant)") {
     val imgs = Corpus.images(spark, P).collect()
     imgs.foreach { r =>
