@@ -69,6 +69,41 @@ class PlanShapeSpec extends AnyFunSuite {
       s"entity dim join is not broadcast:\n$plan")
   }
 
+  test("IVF: corpus never window-sorted before the cell join; one final rank only") {
+    import spark.implicits._
+    val e = (0 until 300).map(i => (i.toLong,
+      Array.tabulate(16)(k => ((i % 5) * 100 + k).toFloat))).toDF("vec_id", "embedding")
+    val q = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val ivf = graft.operators.Similarity.ivfTopK(q,
+      e.select(col("vec_id").as("cid"), col("embedding").as("cvec")),
+      "qid", "qvec", "cid", "cvec", k = 3, nlist = 8, nprobe = 2)
+    ivf.collect()
+    val plan = executed(ivf)
+    // cell assignment is a pure projection: the ONLY WindowExec (rank of
+    // candidates per query) sits after the candidate join — WindowGroupLimit
+    // nodes are the partial top-k pushdown of that same rank, not extra
+    // windows over the corpus
+    assert(countOcc(plan, "Window [") == 1,
+      s"expected exactly one window (final rank), plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("incremental features: state joins broadcast, slice windows share one sort") {
+    val p = Corpus.Params(rows = 1200, entities = 8)
+    val ev = Corpus.events(spark, p)
+    val dim = Corpus.dimFeatures(spark, p.seed)
+    val ed = graft.features.FeaturePipeline.entityDim(spark, p.entities)
+    val state = graft.features.FeaturePipeline.featureState(
+      graft.features.FeaturePipeline.features(ev.where(col("seq") < 600), dim, ed))
+    val inc = graft.features.FeaturePipeline.featuresIncremental(state,
+      ev.where(col("seq") >= 600), dim, ed)
+    inc.select("entity_id").count()
+    val plan = executed(inc)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"state join is not broadcast:\n$plan")
+  }
+
   test("near-dup joins: no cartesian product, hot-bucket guard is broadcast") {
     import spark.implicits._
     val docs = (0 until 200).map(i => (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w$i end"))
