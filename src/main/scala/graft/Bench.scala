@@ -178,9 +178,11 @@ object Bench {
         finally graft.operators.Caches.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }
-      // warm run (codegen + JIT + parquet footers), then timed run;
-      // failures are recorded loudly, never timed as a number
-      val dt = try { val wt = once(); val d = once()
+      // warm run (codegen + JIT + parquet footers), then MIN of 3 timed
+      // draws — this VM has random multi-second whole-process stalls and a
+      // single draw folds them into the per-query number (observed 11.3 s
+      // for a 2.8 s query); failures are recorded loudly, never timed
+      val dt = try { val wt = once(); val d = (1 to 3).map(_ => once()).min
         System.err.println(f"[bench] $name%-24s $d%8.2f s (warm $wt%.2f)"); d
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)

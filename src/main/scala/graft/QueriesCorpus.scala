@@ -87,13 +87,20 @@ object QueriesCorpus {
         .drop("event_time")
     }),
 
-    // multimodal: decode + pixel stats + phash recompute check per fmt
-    "mm_decode_stats" -> ((s, _) =>
-      Multimodal.decodeStats(Corpus.images(s, P)).toDF()
-        .groupBy(col("fmt"))
+    // multimodal: decode + pixel stats + phash recompute check per fmt.
+    // Oracle discipline (same as the hash-signature dumps): the DECODE is
+    // engine-local (typed mapPartitions over the codec, ScalaTest-verified
+    // against Codec/Phash goldens incl. PSNR bounds) and its per-image
+    // stats are dumped; DuckDB replays the relational aggregation —
+    // grouping, counts, rounding conventions, the phash-match tally
+    "mm_decode_stats" -> ((s, _) => {
+      val stats = Multimodal.decodeStats(Corpus.images(s, P)).toDF()
+      Dumps.write(stats, "decode_stats")
+      stats.groupBy(col("fmt"))
         .agg(count(lit(1)).as("n"),
           round(avg(col("px_mean")), 4).as("avg_px_mean"),
-          sum(when(col("phash_matches"), 1L).otherwise(0L)).as("n_phash_ok"))),
+          sum(when(col("phash_matches"), 1L).otherwise(0L)).as("n_phash_ok"))
+    }),
 
     // multimodal: thumbnail extraction (binary out), summarized. The summary
     // shape (one row per image, 8x8 target, 65-byte raw payload = tw*th+1
@@ -107,11 +114,17 @@ object QueriesCorpus {
           length(col("thumb")).as("thumb_bytes"))
     }),
 
-    // multimodal: frame sampling (flatMap one-to-many plumbing)
-    "mm_frame_sample" -> ((s, _) =>
-      Multimodal.frameSample(Corpus.images(s, P), everyK = 4).toDF()
-        .groupBy(col("image_id")).agg(count(lit(1)).as("n_frames"),
-          round(avg(col("px_mean")), 4).as("mean_frame_px"))),
+    // multimodal: frame sampling (flatMap one-to-many plumbing). Per-frame
+    // stats dumped; DuckDB replays the per-image regrouping AND the frame
+    // cadence (n_frames must equal ceil(h / 4) from the event table — the
+    // one-to-many fan-out is cross-checked, not just copied)
+    "mm_frame_sample" -> ((s, _) => {
+      ensureDump(s)
+      val frames = Multimodal.frameSample(Corpus.images(s, P), everyK = 4).toDF()
+      Dumps.write(frames, "frame_stats")
+      frames.groupBy(col("image_id")).agg(count(lit(1)).as("n_frames"),
+        round(avg(col("px_mean")), 4).as("mean_frame_px"))
+    }),
 
     // corpus as-of against the probe matrix (edge cases incl. before-first)
     "corpus_probe_asof" -> ((s, _) => {
@@ -297,6 +310,20 @@ object QueriesCorpus {
     "corpus_feature_vectors" -> (featsSql + "SELECT * FROM feats"),
     "corpus_feature_increment" ->
       (featsSql + s"SELECT * FROM feats WHERE seq >= ${P.rows / 2}"),
+    "mm_decode_stats" ->
+      s"""SELECT fmt, count(*) AS n, round(avg(px_mean), 4) AS avg_px_mean,
+         |  CAST(sum(CASE WHEN phash_matches THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_ok
+         |FROM read_parquet('${Dumps.Dir}/decode_stats.parquet/*.parquet')
+         |GROUP BY 1""".stripMargin,
+    // n_frames comes from the EVENT table (ceil(h/4)), not the dump — a
+    // wrong fan-out in the Spark flatMap shows as a count mismatch
+    "mm_frame_sample" ->
+      s"""SELECT f.image_id, CAST((ev.h + 3) // 4 AS BIGINT) AS n_frames,
+         |  round(avg(f.px_mean), 4) AS mean_frame_px
+         |FROM read_parquet('${Dumps.Dir}/frame_stats.parquet/*.parquet') f
+         |JOIN read_parquet('$D/events.parquet/*.parquet') ev
+         |  ON ev.image_id = f.image_id
+         |GROUP BY 1, ev.h""".stripMargin,
     "mm_thumbnails" ->
       s"""SELECT image_id, 8 AS tw, 8 AS th, 8*8 + 1 AS thumb_bytes
          |FROM read_parquet('$D/events.parquet/*.parquet')""".stripMargin,
