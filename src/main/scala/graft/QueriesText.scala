@@ -131,6 +131,18 @@ object QueriesText {
       Dedup.hammingPairs(sigs, "doc_id", "sim", maxHamming = 3)
     }),
 
+    // ---- DD: near-dup clustering + survivor selection ---------------------------
+    // what a dedup pipeline actually emits: connected components over the
+    // near-dup pair graph, each cluster keeping its min id. Min-label
+    // propagation to fixpoint; DuckDB oracle recomputes the same components
+    // via a recursive transitive-closure CTE over the SAME pair semantics
+    "dd_components" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccard(t(s, d, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      Dedup.components(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("keep_id"))
+    }),
+
     // ---- SIM: embedding-cosine near-dup pairs (label-blocked) ------------------
     "sim_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -207,6 +219,28 @@ object QueriesText {
   }
 
   private val dumpDir = Dumps.Dir
+
+  /** Brute-force all-pairs n-gram Jaccard in SQL — the dd_ngram_jaccard
+    * oracle, and the edge list the dd_components oracle builds on.
+    */
+  private val NgramPairsSql: String =
+    """WITH toks AS (SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+         FROM documents),
+       grams AS (SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+           i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS gram
+         FROM toks),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                 FROM grams a JOIN grams b
+                   ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT id_a, id_b,
+         round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                  JOIN sizes sb ON sb.doc_id = id_b
+       WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5"""
 
   val oracle: Map[String, String] = Map(
     "txt_fingerprint" ->
@@ -363,24 +397,17 @@ object QueriesText {
                  ' ') AS norm
                FROM documents)
          GROUP BY norm""",
-    "dd_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id,
-           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
-           FROM documents),
-         grams AS (SELECT DISTINCT doc_id,
-           unnest(list_transform(generate_series(1, len(tk) - 2),
-             i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS gram
-           FROM toks),
-         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                   FROM grams a JOIN grams b
-                     ON a.gram = b.gram AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT id_a, id_b,
-           round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-         FROM inter JOIN sizes sa ON sa.doc_id = id_a
-                    JOIN sizes sb ON sb.doc_id = id_b
-         WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5""",
+    "dd_ngram_jaccard" -> NgramPairsSql,
+    "dd_components" ->
+      s"""WITH RECURSIVE pairs AS ($NgramPairsSql),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM und),
+         |reach(id, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id)
+         |SELECT id AS doc_id, min(root) AS keep_id FROM reach GROUP BY id""".stripMargin,
     "sim_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings)

@@ -28,6 +28,15 @@ object Caches {
       c
     }
 
+  /** Register an ALREADY-persisted frame for deterministic release (used by
+    * iterative operators that manage persist/unpersist per round and hand
+    * only the final round to the registry).
+    */
+  def register(df: DataFrame): DataFrame = synchronized {
+    registered += df
+    df
+  }
+
   def releaseAll(): Unit = synchronized {
     registered.foreach(df =>
       try df.unpersist(blocking = true) catch { case _: Throwable => () })

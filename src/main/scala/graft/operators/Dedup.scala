@@ -374,6 +374,59 @@ object Dedup {
     }
   }
 
+  /** Connected components over an undirected near-dup pair list
+    * (id_a, id_b): returns (id, comp) where comp = the component's minimum
+    * id — the survivor each near-dup cluster keeps. Min-label propagation to
+    * fixpoint: each round every node takes the min of its own and its
+    * neighbors' labels (one equi-join + map-side-combined min per round);
+    * rounds needed = O(log of the longest chain) in practice since labels
+    * jump to the component minimum as soon as any member sees it. Near-dup
+    * graphs are small-diameter by construction (clusters of variants of one
+    * document), so `maxIter` is a safety rail, not a tuning knob.
+    *
+    * Scale shape: per round one shuffle of (node, label) pairs — 16 bytes —
+    * plus the convergence count; intermediate labels persist one round and
+    * release the previous (no lineage blowup, no driver-side graph).
+    */
+  def components(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = Caches.cache(
+      pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+        .union(pairs.select(col(bCol).cast("long").as("a"), col(aCol).cast("long").as("b")))
+        .distinct())
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).persist()
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val neigh = edges.join(labels.select(col("id").as("b"), col("comp")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.select(col("id"), col("comp").as("__old"))
+        .join(neigh, Seq("id"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__old"), coalesce(col("ncomp"), col("__old"))).as("comp"))
+        .persist()
+      converged = next.filter(col("comp") =!= col("__old")).isEmpty
+      labels.unpersist(blocking = true)
+      labels = next
+      i += 1
+    }
+    // final round's persist is handed to the session registry for release
+    Caches.register(labels)
+    labels.select(col("id"), col("comp"))
+  }
+
+  /** Survivor set after near-dup clustering: every id in `df` that is NOT a
+    * non-minimal member of a component — i.e. cluster representatives plus
+    * all unpaired documents.
+    */
+  def keepAfterNearDup(df: DataFrame, id: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drop = components(pairs, aCol, bCol)
+      .where(col("id") =!= col("comp")).select(col("id").as("__drop"))
+    df.join(drop, df(id) === col("__drop"), "left_anti")
+  }
+
   /** EXACT n-gram (token) Jaccard near-dup join: every pair with
     * Jaccard >= `minJaccard` over distinct word n-grams, via prefix
     * filtering (SSJoin/PPJoin): under any consistent global gram order, two

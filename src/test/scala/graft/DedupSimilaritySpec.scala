@@ -207,6 +207,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall=$recall brute=${brute.size} lsh=${lsh.size}")
   }
 
+  test("connected components converge on chains and pick min-id survivors") {
+    // chain 1-2-3-9-8 (forces multi-round propagation), pair 5-6, singleton 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L), s"got $comp")
+    graft.operators.Caches.releaseAll()
+    val docs = Seq(1L, 2L, 3L, 5L, 6L, 7L, 8L, 9L).toDF("doc_id")
+    val kept = Dedup.keepAfterNearDup(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 7L), s"got $kept") // reps + the unpaired doc
+    graft.operators.Caches.releaseAll()
+  }
+
   test("cosineFast and lshBucketFast are bit-identical to the HOF reference forms") {
     val e = vecs(120, 16, 31L).toDF("vec_id", "embedding")
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
