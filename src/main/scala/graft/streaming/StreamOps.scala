@@ -47,6 +47,73 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__k")
       .drop("__k")
 
+  final case class NdIn(key: Long, id: Long, sig: Long, t_ms: Long,
+      ts: java.sql.Timestamp)
+
+  final case class NdBuf(entries: List[(Long, Long, Long)]) // (id, sig, t_ms)
+
+  final case class NdPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming NEAR-dup detection — the incremental twin of
+    * [[graft.operators.Dedup.simhashPairs]]: every document explodes into
+    * its four 16-bit SimHash chunk keys (pigeonhole: hamming<=3 pairs agree
+    * on at least one chunk); per chunk-bucket the state holds (id, sig, t)
+    * of documents inside the watermark horizon, and each arriving document
+    * emits a pair for every state member within `maxHamming`.
+    *
+    * Bounded state: entries older than the watermark prune on every
+    * invocation (late-arriving near-dups beyond the horizon are the
+    * documented tradeoff, as in [[dedupExact]]); a per-bucket cap keeps
+    * degenerate sign patterns from accumulating (newest `maxBucket` kept —
+    * at web scale a hot chunk means near-identical docs that exact dedup
+    * should have removed upstream).
+    *
+    * A pair whose signatures agree on several chunks emits once per shared
+    * chunk — deduplicate downstream (`.dropDuplicatesWithinWatermark` on
+    * (id_a, id_b) or `.distinct()` on bounded output); hamming is
+    * pair-determined, so duplicates are exact copies.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String,
+      maxHamming: Int = 3, maxBucket: Int = 256): Dataset[NdPair] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val mh = maxHamming
+    val cap = maxBucket
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"),
+        graft.operators.Dedup.simhashFast(col(textCol)).as("sig"),
+        (unix_millis(col(tsCol))).as("t_ms"), col(tsCol).as("ts"))
+      .select(col("id"), col("sig"), col("t_ms"), col("ts"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+          .as(Seq("chunk", "bits")))
+      .select((col("chunk").cast("long") * 65536L + col("bits")).as("key"),
+        col("id"), col("sig"), col("t_ms"), col("ts"))
+      .as[NdIn]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[NdIn], state: GroupState[NdBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          var entries = state.getOption.map(_.entries).getOrElse(Nil)
+            .filter(_._3 >= wm)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NdPair]
+          rows.toSeq.sortBy(r => (r.t_ms, r.id)).foreach { r =>
+            entries.foreach { case (oid, osig, _) =>
+              if (oid != r.id) {
+                val h = java.lang.Long.bitCount(osig ^ r.sig)
+                if (h <= mh)
+                  out += NdPair(math.min(oid, r.id), math.max(oid, r.id), h)
+              }
+            }
+            entries = ((r.id, r.sig, r.t_ms) :: entries).take(cap)
+          }
+          state.update(NdBuf(entries))
+          out.iterator
+      }
+  }
+
   /** One unioned input row for the streaming as-of: events carry the payload,
     * probes carry only (entity, time). `t_ms` is the event-time in epoch ms
     * (the watermark column is the separate timestamp `ts`).

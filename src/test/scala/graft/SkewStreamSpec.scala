@@ -102,6 +102,41 @@ class SkewStreamSpec extends AnyFunSuite {
       s"stream=$streamed\nbatch=$sessions")
   }
 
+  test("streaming near-dup pairs equal the batch simhash pairs on a bounded corpus") {
+    import org.apache.spark.sql.functions.{timestamp_millis => tsm}
+    // captions with planted near-variants: every 5th caption re-arrives later
+    // with one word changed (small edit -> simhash hamming usually <= 3)
+    val p = Corpus.Params(rows = 600, entities = 6)
+    val base = Corpus.events(spark, p).select(col("seq").as("doc_id"),
+      col("caption"), col("event_ms"))
+    val variants = base.where(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(col("caption"), lit(" x")).as("caption"),
+        (col("event_ms") + 3600000L).as("event_ms"))
+    val docs = base.unionByName(variants)
+      .withColumn("ts", tsm(col("event_ms")))
+
+    // batch oracle: simhash signatures -> chunk-blocked hamming pairs
+    val sigs = docs.select(col("doc_id"),
+      graft.operators.Dedup.simhashFast(col("caption")).as("sim"))
+    val batch = graft.operators.Dedup.hammingPairs(sigs, "doc_id", "sim",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture planted no near-dup pairs — test is vacuous")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-nd-stream").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    StreamOps.runToMemory(
+      StreamOps.nearDupPairs(
+        spark.readStream.schema(docs.schema).parquet(dir),
+        "doc_id", "caption", "ts", watermark = "365 days").toDF(),
+      "nd_out")
+    val streamed = spark.table("nd_out").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
+
   test("streaming snapshot ingestion: per-batch commits, content equals batch union") {
     val p = Corpus.Params(rows = 600, entities = 8)
     val ev = Corpus.events(spark, p).drop("bytes")
