@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Round-3 coverage queries: the statistical surface the round-2 verdict
+  * named as the remaining real-user gaps — Wilcoxon p-values (rank-sum and
+  * PAIRED signed-rank; `Fig-2C_D_plot_univariate.R:141-145`,
+  * `Fig3_4_violin.R:96-100`), confusion-matrix derived statistics
+  * (`crossvalidate.R:94`, `train_functions.R:187`), and the z-normalized
+  * RMSE variant (`az_ml_make_table.R:30-36`). Conventions as in
+  * [[QueriesRel]]; the normal CDF both engines use is the same
+  * Abramowitz–Stegun erf polynomial, so the oracle replays it exactly.
+  */
+object QueriesR3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The A&S 7.1.26 two-sided p, spelled in ANSI SQL over a column `z`
+    * (identical constants/structure to [[Stats.pTwoSided]]).
+    */
+  private def pSql(z: String): String =
+    s"least(1.0, (((( 1.061405429 * (1.0/(1.0+0.3275911*(abs($z)/sqrt(2.0))))" +
+      s" - 1.453152027) * (1.0/(1.0+0.3275911*(abs($z)/sqrt(2.0))))" +
+      s" + 1.421413741) * (1.0/(1.0+0.3275911*(abs($z)/sqrt(2.0))))" +
+      s" - 0.284496736) * (1.0/(1.0+0.3275911*(abs($z)/sqrt(2.0))))" +
+      s" + 0.254829592) * (1.0/(1.0+0.3275911*(abs($z)/sqrt(2.0))))" +
+      s" * exp(-(abs($z)/sqrt(2.0))*(abs($z)/sqrt(2.0))))"
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- A13 full: rank-sum p-value (tie-corrected normal approx) ----------
+    "a13_rank_sum_p" -> ((s, d) =>
+      Stats.rankSumTest(
+        t(s, d, "lineitem").filter(col("l_returnflag").isin("A", "N")),
+        Seq("l_linestatus"), "l_returnflag", "A", "l_quantity")
+        .select(col("l_linestatus"), col("n1"), col("n2"),
+          round(col("u_stat"), 2).as("u_stat"),
+          round(col("z") + 1e-7, 4).as("z"),
+          round(col("p_value") + 1e-7, 4).as("p_value"))),
+
+    // ---- A13 paired: signed-rank test over (pred, obs) pairs ----------------
+    // d = qty*(1-disc)*(1+tax) - qty: sign varies with tax vs disc, zeros
+    // (tax = disc = 0) exercise the zero-drop path
+    "a13_signed_rank" -> ((s, d) =>
+      Stats.signedRank(
+        t(s, d, "lineitem")
+          .withColumn("pred", col("l_quantity") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))
+          .withColumn("obs", col("l_quantity")),
+        Seq("l_linestatus"), "pred", "obs")
+        .select(col("l_linestatus"), col("n_nonzero"),
+          round(col("w_stat"), 2).as("w_stat"),
+          round(col("z") + 1e-7, 4).as("z"),
+          round(col("p_value") + 1e-7, 4).as("p_value"))),
+
+    // ---- A12 derived: accuracy/sensitivity/specificity/precision/kappa -----
+    "a12_confusion_stats" -> ((s, d) =>
+      Stats.confusionStats(
+        t(s, d, "orders").withColumn("seg", pmod(col("o_custkey"), lit(3)).cast("int")),
+        Seq("seg"),
+        actual = col("o_orderstatus") === "F",
+        predicted = col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("seg"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(col("accuracy") + 1e-7, 4).as("accuracy"),
+          round(col("sensitivity") + 1e-7, 4).as("sensitivity"),
+          round(col("specificity") + 1e-7, 4).as("specificity"),
+          round(col("precision") + 1e-7, 4).as("precision"),
+          round(col("kappa") + 1e-7, 4).as("kappa"))),
+
+    // ---- A9 variant: z-normalized RMSE (train-only scaling of both sides) --
+    "a9_zrmse" -> ((s, d) =>
+      Stats.zRmse(
+        t(s, d, "lineitem")
+          .withColumn("pred", col("l_quantity") * (lit(1.0) - col("l_discount")))
+          .withColumn("obs", col("l_quantity")),
+        Seq("l_returnflag"), "pred", "obs",
+        trainPred = col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_returnflag"), round(col("rmse_z") + 1e-7, 4).as("rmse_z"),
+          round(col("mae_z") + 1e-7, 4).as("mae_z"),
+          round(col("pearson") + 1e-7, 4).as("pearson"), col("n")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a13_rank_sum_p" ->
+      s"""WITH f AS (SELECT l_linestatus, l_returnflag, l_quantity FROM lineitem
+            WHERE l_returnflag IN ('A', 'N')),
+          r AS (SELECT l_linestatus, l_returnflag,
+              rank() OVER (PARTITION BY l_linestatus ORDER BY l_quantity)
+                + (count(*) OVER (PARTITION BY l_linestatus, l_quantity) - 1) / 2.0 AS rk
+            FROM f),
+          u AS (SELECT l_linestatus,
+              count(*) FILTER (WHERE l_returnflag = 'A') AS n1,
+              count(*) FILTER (WHERE l_returnflag <> 'A') AS n2,
+              sum(rk) FILTER (WHERE l_returnflag = 'A')
+                - count(*) FILTER (WHERE l_returnflag = 'A')
+                  * (count(*) FILTER (WHERE l_returnflag = 'A') + 1) / 2.0 AS u_stat
+            FROM r GROUP BY 1),
+          tie AS (SELECT l_linestatus,
+              sum(CAST(tt AS DOUBLE) * tt * tt - tt) AS tie
+            FROM (SELECT l_linestatus, l_quantity, count(*) AS tt FROM f GROUP BY 1, 2)
+            GROUP BY 1),
+          zc AS (SELECT u.l_linestatus, n1, n2, u_stat,
+              (u_stat - n1 * n2 / 2.0 - sign(u_stat - n1 * n2 / 2.0) * 0.5)
+                / sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1)
+                    - tie / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
+            FROM u JOIN tie USING (l_linestatus))
+          SELECT l_linestatus, n1, n2, round(u_stat, 2) AS u_stat,
+            round(z + 1e-7, 4) AS z,
+            round(${pSql("z")} + 1e-7, 4) AS p_value
+          FROM zc""",
+    "a13_signed_rank" ->
+      s"""WITH d0 AS (SELECT l_linestatus,
+              l_quantity * (1.0 - l_discount) * (1.0 + l_tax) - l_quantity AS d
+            FROM lineitem),
+          d AS (SELECT l_linestatus, d, abs(d) AS ad FROM d0 WHERE d <> 0),
+          r AS (SELECT l_linestatus, d,
+              count(*) OVER (PARTITION BY l_linestatus, ad) AS tc,
+              rank() OVER (PARTITION BY l_linestatus ORDER BY ad)
+                + (count(*) OVER (PARTITION BY l_linestatus, ad) - 1) / 2.0 AS rk
+            FROM d),
+          a AS (SELECT l_linestatus,
+              sum(CASE WHEN d > 0 THEN rk ELSE 0 END) AS w_stat,
+              count(*) AS n_nonzero,
+              sum(CAST(tc AS DOUBLE) * tc - 1) AS tie
+            FROM r GROUP BY 1),
+          zc AS (SELECT l_linestatus, w_stat, n_nonzero,
+              (w_stat - n_nonzero * (n_nonzero + 1) / 4.0
+                - sign(w_stat - n_nonzero * (n_nonzero + 1) / 4.0) * 0.5)
+                / sqrt(n_nonzero * (n_nonzero + 1) * (2 * n_nonzero + 1) / 24.0
+                    - tie / 48.0) AS z
+            FROM a)
+          SELECT l_linestatus, n_nonzero, round(w_stat, 2) AS w_stat,
+            round(z + 1e-7, 4) AS z,
+            round(${pSql("z")} + 1e-7, 4) AS p_value
+          FROM zc""",
+    "a12_confusion_stats" ->
+      """WITH b AS (SELECT CAST(o_custkey % 3 AS INTEGER) AS seg,
+            (o_orderstatus = 'F') AS act,
+            (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS prd FROM orders),
+          c AS (SELECT seg,
+              count(*) FILTER (WHERE act AND prd) AS tp,
+              count(*) FILTER (WHERE NOT act AND prd) AS fp,
+              count(*) FILTER (WHERE act AND NOT prd) AS fn,
+              count(*) FILTER (WHERE NOT act AND NOT prd) AS tn
+            FROM b GROUP BY 1),
+          k AS (SELECT *,
+              (tp + tn) / CAST(tp + fp + fn + tn AS DOUBLE) AS po,
+              ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                / (CAST(tp + fp + fn + tn AS DOUBLE)
+                   * CAST(tp + fp + fn + tn AS DOUBLE)) AS pe
+            FROM c)
+          SELECT seg, tp, fp, fn, tn,
+            round(po + 1e-7, 4) AS accuracy,
+            round(tp / CAST(tp + fn AS DOUBLE) + 1e-7, 4) AS sensitivity,
+            round(tn / CAST(tn + fp AS DOUBLE) + 1e-7, 4) AS specificity,
+            round(tp / CAST(tp + fp AS DOUBLE) + 1e-7, 4) AS precision,
+            round((po - pe) / (1.0 - pe) + 1e-7, 4) AS kappa
+          FROM k""",
+    "a9_zrmse" ->
+      """WITH t AS (SELECT l_returnflag,
+            l_quantity * (1.0 - l_discount) AS pred, l_quantity AS obs,
+            l_shipdate FROM lineitem),
+          s AS (SELECT l_returnflag, avg(obs) AS mu, stddev_samp(obs) AS sigma
+            FROM t WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+          z AS (SELECT t.l_returnflag,
+              (pred - mu) / sigma AS pz, (obs - mu) / sigma AS oz
+            FROM t JOIN s USING (l_returnflag) WHERE sigma > 0)
+          SELECT l_returnflag,
+            round(sqrt(avg((pz - oz) * (pz - oz))) + 1e-7, 4) AS rmse_z,
+            round(avg(abs(pz - oz)) + 1e-7, 4) AS mae_z,
+            round(corr(pz, oz) + 1e-7, 4) AS pearson, count(*) AS n
+          FROM z GROUP BY 1"""
+  )
+}

@@ -57,11 +57,16 @@ object Sampling {
       .where(col("m") > 0)
 
   /** Class upsampling (reference M3, `train_functions.R:111`
-    * `sampling="up"`): each class is Poisson-resampled at its own rate so
-    * expected class sizes equalize to the majority's — same deterministic
-    * per-row multiplicity machinery as [[poissonBootstrap]] (partitioning-
-    * independent; rows with m == 0 drop, m > 1 replicate by weight). One
-    * tiny class-count aggregate + one map pass; no shuffle of the fact side.
+    * `sampling="up"`): every original row is KEPT (m >= 1, matching caret's
+    * "up" which leaves the majority intact) and each class additionally
+    * draws m - 1 ~ Poisson(rate_c - 1) extra copies, where rate_c =
+    * majority_n / class_n — so expected class sizes equalize to the
+    * majority's and the majority itself (rate 1) is passed through
+    * unchanged. Same deterministic per-row multiplicity machinery as
+    * [[poissonBootstrap]] (partitioning-independent). One tiny class-count
+    * aggregate + one map pass; no shuffle of the fact side. Null class
+    * values are matched null-safely (a null class is a class like any
+    * other, not silently dropped).
     */
   def upsampleClasses(df: DataFrame, keyCol: String, classCol: String,
       seed: Long): DataFrame = {
@@ -72,24 +77,29 @@ object Sampling {
     require(rates.values.max < 200,
       s"class imbalance ${rates.values.max} beyond Poisson-inversion range")
     val rateCol = rates.foldLeft(lit(Double.NaN)) { case (acc, (c, r)) =>
-      when(col(classCol) === lit(c), lit(r)).otherwise(acc)
+      when(col(classCol) <=> lit(c), lit(r)).otherwise(acc)
     }
-    // per-class rate via a tiny literal CASE chain; multiplicity from
-    // hash(seed, key) as in poissonBootstrap, inverse-CDF inlined per row
+    // per-class rate via a tiny literal CASE chain; the EXTRA-copy count
+    // comes from hash(seed, key) as in poissonBootstrap, inverse-CDF
+    // inlined per row; Poisson(0) is identically 0, so the majority class
+    // never branches into the loop
     val m = udf { (key: Long, rate: Double) =>
-      val u = Rng.double01(Rng.hash(seed, key, stream = 7L))
-      var k = 0
-      var p = math.exp(-rate)
-      var cdf = p
-      while (cdf < u && k < 200) {
-        k += 1
-        p = p * rate / k
-        cdf += p
+      val extra = rate - 1.0
+      if (extra <= 0.0) 1
+      else {
+        val u = Rng.double01(Rng.hash(seed, key, stream = 7L))
+        var k = 0
+        var p = math.exp(-extra)
+        var cdf = p
+        while (cdf < u && k < 200) {
+          k += 1
+          p = p * extra / k
+          cdf += p
+        }
+        1 + k
       }
-      k
     }
     df.withColumn("m", m(col(keyCol).cast("long"), rateCol))
-      .where(col("m") > 0)
   }
 
   /** Bootstrap mean ± percentile-free normal CI of `value` over `reps`

@@ -121,26 +121,77 @@ object Stats {
     * tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)) with the scipy tie handling.
     * Scale note: per-group state is O(group size) — intended for the
     * reference's per-feature statistical groups, not fact-scale groups.
+    * `maxGroup` is the hard rail for that intent: a group larger than it
+    * fails FAST with a clear error instead of buffering an executor into
+    * OOM (2M pairs ≈ 32 MB of doubles per group — already far beyond any
+    * statistical group; fact-scale keys mean the wrong operator was picked).
     */
   def kendall(df: DataFrame, group: Seq[String], x: String, y: String,
-      as: String = "kendall_tau"): DataFrame = {
-    val tau = udf { (xy: Seq[org.apache.spark.sql.Row]) =>
-      val n = xy.length
+      as: String = "kendall_tau", maxGroup: Int = 2000000): DataFrame = {
+    val ktau = udaf(new KendallAgg(maxGroup),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    df.groupBy(group.map(col): _*)
+      .agg(ktau(col(x).cast("double"), col(y).cast("double")).as(as),
+        count(lit(1)).as("n"))
+      .select((group.map(col) :+ col(as) :+ col("n")): _*)
+  }
+
+  /** Growable (x, y) pair buffer for [[KendallAgg]]; kryo-serialized between
+    * partial and final aggregation.
+    */
+  final class KendallBuf(var xs: Array[Double], var ys: Array[Double],
+      var n: Int) extends Serializable
+
+  /** Typed Aggregator behind [[kendall]]: buffers the group's pairs with a
+    * hard size rail checked ON EVERY INSERT — a fact-scale group fails fast
+    * with a clear error instead of buffering an executor toward OOM (the
+    * collect_list formulation only failed after the buffer was built).
+    */
+  private final class KendallAgg(bound: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[(Double, Double), KendallBuf, Double] {
+    private def oversize(n: Int): Nothing =
+      throw new IllegalStateException(
+        s"Stats.kendall: group exceeds maxGroup=$bound rows (at $n). kendall " +
+          "buffers each group in executor memory (Knight's algorithm is " +
+          "inherently per-group); a group this size is fact-scale, not a " +
+          "statistical group — pre-aggregate or raise maxGroup deliberately.")
+    def zero: KendallBuf = new KendallBuf(new Array[Double](8), new Array[Double](8), 0)
+    def reduce(b: KendallBuf, a: (Double, Double)): KendallBuf = {
+      if (b.n >= bound) oversize(b.n + 1)
+      if (b.n == b.xs.length) {
+        val cap = b.xs.length * 2
+        b.xs = java.util.Arrays.copyOf(b.xs, cap)
+        b.ys = java.util.Arrays.copyOf(b.ys, cap)
+      }
+      b.xs(b.n) = a._1; b.ys(b.n) = a._2; b.n += 1
+      b
+    }
+    def merge(a: KendallBuf, b: KendallBuf): KendallBuf = {
+      if (a.n + b.n > bound) oversize(a.n + b.n)
+      val xs = java.util.Arrays.copyOf(a.xs, a.n + b.n)
+      val ys = java.util.Arrays.copyOf(a.ys, a.n + b.n)
+      System.arraycopy(b.xs, 0, xs, a.n, b.n)
+      System.arraycopy(b.ys, 0, ys, a.n, b.n)
+      new KendallBuf(xs, ys, a.n + b.n)
+    }
+    def finish(b: KendallBuf): Double = {
+      val n = b.n
       if (n < 2) Double.NaN
       else {
+        val idx = (0 until n).sortBy(i => (b.xs(i), b.ys(i)))
         val xs = new Array[Double](n)
         val ys = new Array[Double](n)
-        val idx = (0 until n).sortBy(i => (xy(i).getDouble(0), xy(i).getDouble(1)))
         var k = 0
-        while (k < n) { xs(k) = xy(idx(k)).getDouble(0); ys(k) = xy(idx(k)).getDouble(1); k += 1 }
+        while (k < n) { xs(k) = b.xs(idx(k)); ys(k) = b.ys(idx(k)); k += 1 }
         tauBSorted(xs, ys)
       }
     }
-    df.groupBy(group.map(col): _*)
-      .agg(collect_list(struct(col(x).cast("double"), col(y).cast("double"))).as("__xy"),
-        count(lit(1)).as("n"))
-      .withColumn(as, tau(col("__xy")))
-      .drop("__xy")
+    def bufferEncoder: org.apache.spark.sql.Encoder[KendallBuf] =
+      org.apache.spark.sql.Encoders.kryo[KendallBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
   }
 
   /** tau-b over arrays pre-sorted by (x, y): xtie/ytie/joint-tie run counts
@@ -242,5 +293,132 @@ object Stats {
         count(when(col(classCol) =!= classA, 1)).as("n2"))
       .withColumn("u_stat", col("__r1") - col("n1") * (col("n1") + 1) / 2.0)
       .drop("__r1")
+  }
+
+  /** Two-sided normal-approximation p-value from a z column:
+    * p = erfc(|z|/sqrt(2)), via the Abramowitz–Stegun 7.1.26 erf polynomial
+    * (public formula, |abs err| < 1.5e-7) — pure column arithmetic, codegen'd,
+    * and exactly re-expressible in ANSI SQL for the oracle.
+    */
+  def pTwoSided(z: Column): Column = {
+    val x = abs(z) / math.sqrt(2.0)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    // Horner over t, multiplied by exp(-x^2): erfc(x) for x >= 0
+    val poly = ((((lit(1.061405429) * t + lit(-1.453152027)) * t
+      + lit(1.421413741)) * t + lit(-0.284496736)) * t + lit(0.254829592)) * t
+    least(lit(1.0), poly * exp(-x * x))
+  }
+
+  /** Full Wilcoxon rank-sum (Mann–Whitney) test per group — the reference
+    * consumes the p-value, not just U (`Fig-2C_D_plot_univariate.R:141-145`
+    * `wilcox_test` + `add_significance`): normal approximation with the
+    * standard tie-corrected variance and continuity correction (R
+    * `wilcox.test` default `correct = TRUE`):
+    * mu = n1 n2 / 2, sigma^2 = (n1 n2 / 12)((n+1) - sum(t^3 - t)/(n(n-1))),
+    * z = (U - mu - sign(U - mu)/2) / sigma, p = erfc(|z|/sqrt 2).
+    * The tie term is one extra map-side-combinable aggregation over
+    * (group, value) — same shuffle key family, no new scan.
+    */
+  def rankSumTest(df: DataFrame, group: Seq[String], classCol: String,
+      classA: String, value: String): DataFrame = {
+    val u = rankSumU(df, group, classCol, classA, value)
+    val ties = df.groupBy((group.map(col) :+ col(value)): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(group.map(col): _*)
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"))
+    val n = col("n1") + col("n2")
+    val mu = col("n1") * col("n2") / 2.0
+    val sigma = sqrt(col("n1") * col("n2") / 12.0 *
+      ((n + 1) - col("__tie") / (n * (n - 1))))
+    val diff = col("u_stat") - mu
+    val z = (diff - signum(diff) * 0.5) / sigma
+    u.join(ties, group)
+      .withColumn("z", z)
+      .withColumn("p_value", pTwoSided(col("z")))
+      .drop("__tie")
+  }
+
+  /** Paired Wilcoxon signed-rank test per group
+    * (`Fig3_4_violin.R:96-100` `method = "wilcox.test", paired = TRUE`):
+    * d = x - y per pair, zeros dropped (R's default zero handling), |d|
+    * average-ranked within the group, W = sum of ranks where d > 0.
+    * Normal approximation with tie correction and continuity correction:
+    * mu = nr(nr+1)/4, sigma^2 = nr(nr+1)(2nr+1)/24 - sum(t^3 - t)/48,
+    * z = (W - mu - sign(W - mu)/2)/sigma, p = erfc(|z|/sqrt 2).
+    * Same shapes as [[rankSumTest]]: two windows + one grouped agg, all
+    * keyed on the group columns.
+    */
+  def signedRank(df: DataFrame, group: Seq[String], x: String,
+      y: String): DataFrame = {
+    val d = df.withColumn("__d", col(x) - col(y))
+      .where(col("__d") =!= 0.0)
+      .withColumn("__ad", abs(col("__d")))
+    val w = Window.partitionBy(group.map(col): _*).orderBy(col("__ad"))
+    val tieW = Window.partitionBy((group.map(col) :+ col("__ad")): _*)
+    val ranked = d
+      .withColumn("__tc", count(lit(1)).over(tieW))
+      .withColumn("__r", rank().over(w) + (col("__tc") - 1) / 2.0)
+    // each row of a size-t tie run contributes t^2 - 1; summed over the run
+    // that is t^3 - t, so the group sum is exactly sum(t^3 - t) over runs
+    val agg = ranked.groupBy(group.map(col): _*)
+      .agg(
+        sum(when(col("__d") > 0, col("__r")).otherwise(lit(0.0))).as("w_stat"),
+        count(lit(1)).as("n_nonzero"),
+        sum(col("__tc") * col("__tc") - 1).as("__tie"))
+    val nr = col("n_nonzero")
+    val mu = nr * (nr + 1) / 4.0
+    val sigma = sqrt(nr * (nr + 1) * (nr * 2 + 1) / 24.0 - col("__tie") / 48.0)
+    val diff = col("w_stat") - mu
+    agg
+      .withColumn("z", (diff - signum(diff) * 0.5) / sigma)
+      .withColumn("p_value", pTwoSided(col("z")))
+      .drop("__tie")
+  }
+
+  /** Derived statistics from a binary confusion matrix per group — the
+    * reference consumes `confusionMatrix`'s accuracy/sensitivity/specificity/
+    * kappa, not the raw counts (`crossvalidate.R:94`,
+    * `train_functions.R:187`). `actual`/`predicted` are boolean columns
+    * ("positive" = true). Pure conditional-count aggregation + column
+    * arithmetic over the 2×2 — one map-side-combinable pass.
+    */
+  def confusionStats(df: DataFrame, group: Seq[String], actual: Column,
+      predicted: Column): DataFrame = {
+    val agg = df.groupBy(group.map(col): _*)
+      .agg(
+        count(when(actual && predicted, 1)).as("tp"),
+        count(when(!actual && predicted, 1)).as("fp"),
+        count(when(actual && !predicted, 1)).as("fn"),
+        count(when(!actual && !predicted, 1)).as("tn"))
+    val n = (col("tp") + col("fp") + col("fn") + col("tn")).cast("double")
+    val po = (col("tp") + col("tn")) / n
+    val pe = ((col("tp") + col("fp")) * (col("tp") + col("fn"))
+      + (col("fn") + col("tn")) * (col("fp") + col("tn"))) / (n * n)
+    agg
+      .withColumn("accuracy", po)
+      .withColumn("sensitivity", col("tp") / (col("tp") + col("fn")))
+      .withColumn("specificity", col("tn") / (col("tn") + col("fp")))
+      .withColumn("precision", col("tp") / (col("tp") + col("fp")))
+      .withColumn("kappa", (po - pe) / (lit(1.0) - pe))
+  }
+
+  /** z-normalized error metrics (`az_ml_make_table.R:30-36`): both pred and
+    * obs standardized with the TRAIN-only distribution of obs (leakage-safe,
+    * same contract as [[zscoreTrainOnly]]), then [[errorMetrics]] over the
+    * standardized pair — rmse_z is scale-free (rmse / train sigma), pearson
+    * is unchanged by the affine map (reported for cross-checking).
+    */
+  def zRmse(df: DataFrame, group: Seq[String], pred: String, obs: String,
+      trainPred: Column): DataFrame = {
+    val stats = df.filter(trainPred)
+      .groupBy(group.map(col): _*)
+      .agg(avg(col(obs)).as("__mu"), stddev_samp(col(obs)).as("__sigma"))
+    val z = df.join(broadcast(stats), group)
+      .where(col("__sigma") > 0)
+      .withColumn("__pz", (col(pred) - col("__mu")) / col("__sigma"))
+      .withColumn("__oz", (col(obs) - col("__mu")) / col("__sigma"))
+    errorMetrics(z, group, "__pz", "__oz")
+      .withColumnRenamed("rmse", "rmse_z")
+      .withColumnRenamed("mae", "mae_z")
   }
 }

@@ -223,6 +223,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     graft.operators.Caches.releaseAll()
   }
 
+  test("components: pointer jumping closes a 400-hop chain within the default rail") {
+    // a path graph is the worst case for neighbor-min propagation (one hop
+    // per round -> 400 rounds); the jumping step contracts it in ~log2(400)
+    // rounds, so the default maxIter=20 must suffice — and a silent partial
+    // labeling is now impossible (components throws instead)
+    val pairs = spark.range(0, 400)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val comp = Dedup.components(pairs, "id_a", "id_b")
+    assert(comp.count() == 401)
+    assert(comp.where(col("comp") =!= 0L).count() == 0)
+    graft.operators.Caches.releaseAll()
+  }
+
   test("cosineFast and lshBucketFast are bit-identical to the HOF reference forms") {
     val e = vecs(120, 16, 31L).toDF("vec_id", "embedding")
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))

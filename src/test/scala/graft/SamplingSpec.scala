@@ -54,6 +54,10 @@ class SamplingSpec extends AnyFunSuite {
       when(col("id") % 10 < 7, "A").when(col("id") % 10 < 9, "B").otherwise("C")
         .as("cls"))
     val up = Sampling.upsampleClasses(df, "k", "cls", seed = 5L)
+    // caret "up" semantics: EVERY original row is kept (m >= 1) and the
+    // majority class passes through untouched (m == 1 exactly)
+    assert(up.count() == 6000)
+    assert(up.where(col("cls") === "A" && col("m") =!= 1).count() == 0)
     val sizes = up.groupBy("cls").agg(sum("m").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // majority class has rate 1 (expected size = its own count); minorities
