@@ -202,29 +202,31 @@ object StreamOps {
   }
 
   /** Ingest a stream into a [[graft.tables.SnapshotTable]]: every non-empty
-    * micro-batch appends copy-on-write — new content = current snapshot ∪
-    * batch, committed with per-bucket lineage manifests and the atomic
-    * pointer; buckets the batch does not touch are NOT rewritten (digest
-    * diff), exactly Iceberg's COW commit shape. Combined with the table's
-    * kill/rerun idempotence and the stream's checkpoint, a crashed ingester
-    * resumes at the failed batch and re-commits it without duplicating
-    * earlier ones.
+    * micro-batch APPENDS via [[graft.tables.SnapshotTable.commitDelta]] —
+    * only the batch itself is scanned, hashed and written (one new slice
+    * per touched bucket); parent manifests fold arithmetically, so a
+    * micro-batch costs O(batch), not O(history). The streaming batchId is
+    * recorded in the snapshot manifest, which makes the commit idempotent
+    * under foreachBatch's at-least-once contract: a crash after the
+    * snapshot commit but before the streaming log records the batch makes
+    * the restarted query re-deliver the SAME batchId, and commitDelta
+    * skips it instead of appending the rows twice. Buckets whose slice
+    * count passes `compactAfter` are compacted in the same call (fold-only
+    * manifest math, data rewritten once per ~compactAfter appends).
     */
   def commitStream(events: DataFrame, root: String, entityCol: String,
-      timeCol: String, checkpointDir: String, buckets: Int = 16): StreamingQuery = {
+      timeCol: String, checkpointDir: String, buckets: Int = 16,
+      compactAfter: Int = 8): StreamingQuery = {
     import graft.tables.SnapshotTable
     val q = events.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val full = SnapshotTable.currentId(root) match {
-            case Some(_) => SnapshotTable.read(spark, root)
-              .drop(SnapshotTable.BucketCol).unionByName(batch.toDF())
-            case None => batch.toDF()
-          }
-          SnapshotTable.commit(full, root, entityCol, timeCol, buckets): Unit
+          SnapshotTable.commitDelta(batch.toDF(), root, entityCol, timeCol,
+            buckets, batchId = bid)
+          SnapshotTable.compact(batch.sparkSession, root,
+            maxSlices = compactAfter): Unit
         }
       }
       .trigger(Trigger.AvailableNow()).start()

@@ -36,22 +36,39 @@ object SnapshotTable {
 
   val BucketCol = "pbucket"
 
+  /** One SLICE of a bucket's data: a directory of parquet files plus its
+    * lineage stats. A bucket may have several slices (initial load + each
+    * appended delta — Iceberg's manifest-lists-files shape); the bucket's
+    * logical manifest is the FOLD of its slices (rows: sum, watermark: max,
+    * digest: xor — all associative+commutative, which is what makes O(delta)
+    * appends possible).
+    */
   final case class BucketManifest(bucket: Int, dir: String, rows: Long,
       watermark: Long, digest: Long)
   final case class Snapshot(id: Long, parent: Long,
-      entityCol: String, timeCol: String, buckets: Seq[BucketManifest])
+      entityCol: String, timeCol: String, nbuckets: Int, batchId: Long,
+      columns: Seq[String], buckets: Seq[BucketManifest]) {
+    /** Per-bucket folded (rows, watermark, digest) over slices. */
+    def folded: Map[Int, (Long, Long, Long)] =
+      buckets.groupBy(_.bucket).map { case (k, ss) =>
+        k -> ((ss.map(_.rows).sum, ss.map(_.watermark).max,
+          ss.map(_.digest).reduce(_ ^ _)))
+      }
+  }
 
   // --- tiny hand-rolled JSON (no extra deps; schema is fixed) --------------
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
   private def toJson(s: Snapshot): String = {
-    val bs = s.buckets.sortBy(_.bucket).map { b =>
+    val bs = s.buckets.sortBy(b => (b.bucket, b.dir)).map { b =>
       s"""{"bucket":${b.bucket},"dir":"${esc(b.dir)}","rows":${b.rows},""" +
         s""""watermark":${b.watermark},"digest":${b.digest}}"""
     }.mkString("[", ",", "]")
+    val cols = s.columns.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     s"""{"id":${s.id},"parent":${s.parent},"entity_col":"${esc(s.entityCol)}",""" +
-      s""""time_col":"${esc(s.timeCol)}","buckets":$bs}"""
+      s""""time_col":"${esc(s.timeCol)}","nbuckets":${s.nbuckets},""" +
+      s""""batch_id":${s.batchId},"columns":$cols,"buckets":$bs}"""
   }
 
   private def field(json: String, name: String): String = {
@@ -61,11 +78,16 @@ object SnapshotTable {
   }
 
   private def fromJson(json: String): Snapshot = {
+    val colsPart = json.substring(json.indexOf("\"columns\":") + 10)
+    val cols = "\"([^\"]*)\"".r
+      .findAllMatchIn(colsPart.substring(0, colsPart.indexOf(']')))
+      .map(_.group(1)).toSeq
     val bucketsPart = json.substring(json.indexOf("\"buckets\":") + 10)
     val items = "\\{[^{}]*\\}".r.findAllIn(bucketsPart).toSeq
     Snapshot(
       field(json, "id").toLong, field(json, "parent").toLong,
       field(json, "entity_col"), field(json, "time_col"),
+      field(json, "nbuckets").toInt, field(json, "batch_id").toLong, cols,
       items.map(it => BucketManifest(field(it, "bucket").toInt, field(it, "dir"),
         field(it, "rows").toLong, field(it, "watermark").toLong,
         field(it, "digest").toLong)))
@@ -92,63 +114,179 @@ object SnapshotTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Commit `df` as a new snapshot of the table at `root`.
-    * Returns the new snapshot id. Buckets whose digest equals the parent
-    * snapshot's are NOT rewritten — their files are reused (resume path).
+  /** Per-bucket (rows, watermark, digest) aggregate of a frame that already
+    * carries [[BucketCol]] — the only data scan a commit performs.
     */
-  def commit(df0: DataFrame, root: String, entityCol: String, timeCol: String,
-      buckets: Int = 16): Long = {
-    val spark = df0.sparkSession
-    val df = df0.withColumn(BucketCol, pmod(xxhash64(col(entityCol)), lit(buckets)).cast("int"))
-    val rowHash = xxhash64(to_json(struct(df0.columns.sorted.map(col): _*)))
-    val man = df.withColumn("__h", rowHash)
+  private def bucketStats(df: DataFrame, dataCols: Seq[String],
+      timeCol: String): Map[Int, (Long, Long, Long)] = {
+    val rowHash = xxhash64(to_json(struct(dataCols.sorted.map(col): _*)))
+    df.withColumn("__h", rowHash)
       .groupBy(col(BucketCol))
       .agg(count(lit(1)).as("rows"), max(col(timeCol)).cast("long").as("wm"),
         expr("bit_xor(__h)").as("digest"))
       .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
+  }
 
-    val parent = currentSnapshot(root)
-    val parentBuckets: Map[Int, BucketManifest] =
-      parent.map(_.buckets.map(b => b.bucket -> b).toMap).getOrElse(Map.empty)
-    val newId = parent.map(_.id + 1).getOrElse(0L)
-
-    // a bucket is unchanged only if digest AND row count AND watermark all
-    // match the parent manifest: bit_xor alone cancels pairs, so adding two
-    // identical rows (exact duplicates are central to this corpus) would
-    // otherwise leave the digest unchanged and silently drop the new rows
-    val changed = man.filter { case (k, (rows, wm, dg)) =>
-      !parentBuckets.get(k).exists(b =>
-        b.digest == dg && b.rows == rows && b.watermark == wm)
-    }.keys.toSeq.sorted
-
-    // unique staging dir per attempt: a killed previous attempt never
-    // collides and its garbage is unreferenced
+  /** Unique staging dir per attempt: a killed previous attempt never
+    * collides and its garbage is unreferenced.
+    */
+  private def newStage(root: String, newId: Long): Path = {
     var attempt = 0
     var stage: Path = null
     do {
       stage = Paths.get(root, "data", s"s${newId}_$attempt")
       attempt += 1
     } while (Files.exists(stage))
+    stage
+  }
 
+  private def writeManifest(root: String, snap: Snapshot): Long = {
+    val snapsDir = Paths.get(root, "snapshots")
+    Files.createDirectories(snapsDir)
+    Files.writeString(snapsDir.resolve(s"v${snap.id}.json"), toJson(snap))
+    swapPointer(root, snap.id)
+    snap.id
+  }
+
+  /** Commit the FULL content `df` as a new snapshot of the table at `root`
+    * (overwrite semantics: the new snapshot's content is exactly `df`).
+    * Returns the new snapshot id. Buckets whose folded digest equals the
+    * parent snapshot's are NOT rewritten — their slices are reused (resume
+    * path). For appends, [[commitDelta]] does the same with an O(delta)
+    * scan instead of re-reading the whole table.
+    */
+  def commit(df0: DataFrame, root: String, entityCol: String, timeCol: String,
+      buckets: Int = 16, batchId: Long = -1L): Long = {
+    val parent = currentSnapshot(root)
+    parent.foreach { p =>
+      require(p.nbuckets == buckets,
+        s"bucket count $buckets != table's ${p.nbuckets} at $root")
+      require(p.columns == df0.columns.sorted.toSeq,
+        s"schema ${df0.columns.sorted.toSeq} != table's ${p.columns} at $root")
+    }
+    if (batchId >= 0 && parent.exists(_.batchId == batchId))
+      return parent.get.id // idempotent replay of an already-committed batch
+
+    val df = df0.withColumn(BucketCol, pmod(xxhash64(col(entityCol)), lit(buckets)).cast("int"))
+    val man = bucketStats(df, df0.columns.toSeq, timeCol)
+
+    val parentFolded: Map[Int, (Long, Long, Long)] =
+      parent.map(_.folded).getOrElse(Map.empty)
+    val parentSlices: Map[Int, Seq[BucketManifest]] =
+      parent.map(_.buckets.groupBy(_.bucket)).getOrElse(Map.empty)
+    val newId = parent.map(_.id + 1).getOrElse(0L)
+
+    // a bucket is unchanged only if digest AND row count AND watermark all
+    // match the parent's folded manifest: bit_xor alone cancels pairs, so
+    // adding two identical rows (exact duplicates are central to this
+    // corpus) would otherwise leave the digest unchanged and silently drop
+    // the new rows
+    val changed = man.filter { case (k, fold) =>
+      !parentFolded.get(k).contains(fold)
+    }.keys.toSeq.sorted
+
+    val stage = newStage(root, newId)
     if (changed.nonEmpty) {
       df.filter(col(BucketCol).isin(changed.map(Integer.valueOf): _*))
         .sortWithinPartitions(col(entityCol), col(timeCol))
         .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
     }
 
-    val newBuckets = man.toSeq.sortBy(_._1).map { case (k, (rows, wm, dg)) =>
+    val newBuckets = man.toSeq.sortBy(_._1).flatMap { case (k, (rows, wm, dg)) =>
       if (changed.contains(k))
-        BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
-      else parentBuckets(k)
+        Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
+      else parentSlices(k)
     }
-    val snap = Snapshot(newId, parent.map(_.id).getOrElse(-1L), entityCol, timeCol, newBuckets)
-    val snapsDir = Paths.get(root, "snapshots")
-    Files.createDirectories(snapsDir)
-    Files.writeString(snapsDir.resolve(s"v$newId.json"), toJson(snap))
-    swapPointer(root, newId)
-    newId
+    writeManifest(root, Snapshot(newId, parent.map(_.id).getOrElse(-1L),
+      entityCol, timeCol, buckets, batchId, df0.columns.sorted.toSeq, newBuckets))
+  }
+
+  /** APPEND `delta` as a new snapshot costing O(delta): only the delta is
+    * scanned, hashed and written (one new slice per touched bucket); every
+    * parent slice is carried over verbatim and the folded per-bucket
+    * manifests update arithmetically (rows: +, watermark: max, digest: xor)
+    * — byte-identical to what a full recompute over parent ∪ delta would
+    * produce, because all three folds are associative and commutative.
+    * This is the per-micro-batch path: `commit` re-hashes the entire table
+    * per call, which is O(history) per append — the one shape that cannot
+    * survive frequent appends at 100 TB.
+    *
+    * `batchId` (>= 0) makes the commit idempotent under at-least-once
+    * replay: if the CURRENT snapshot already carries this batchId, the call
+    * is a no-op returning the current id. Streaming batchIds are
+    * monotonically increasing and only the last uncommitted batch is ever
+    * replayed, so checking the current snapshot suffices.
+    *
+    * On an empty table this degenerates to [[commit]].
+    */
+  def commitDelta(delta: DataFrame, root: String, entityCol: String,
+      timeCol: String, buckets: Int = 16, batchId: Long = -1L): Long = {
+    currentSnapshot(root) match {
+      case None => commit(delta, root, entityCol, timeCol, buckets, batchId)
+      case Some(p) =>
+        if (batchId >= 0 && p.batchId == batchId) return p.id
+        require(p.nbuckets == buckets,
+          s"bucket count $buckets != table's ${p.nbuckets} at $root")
+        require(p.entityCol == entityCol && p.timeCol == timeCol,
+          s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")
+        require(p.columns == delta.columns.sorted.toSeq,
+          s"delta schema ${delta.columns.sorted.toSeq} != table's ${p.columns}")
+        val df = delta.withColumn(BucketCol,
+          pmod(xxhash64(col(entityCol)), lit(buckets)).cast("int"))
+        val man = bucketStats(df, delta.columns.toSeq, timeCol)
+        if (man.isEmpty) return p.id // empty delta: nothing to commit
+
+        val newId = p.id + 1
+        val stage = newStage(root, newId)
+        df.sortWithinPartitions(col(entityCol), col(timeCol))
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+
+        val deltaSlices = man.toSeq.sortBy(_._1).map { case (k, (rows, wm, dg)) =>
+          BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
+        }
+        writeManifest(root, Snapshot(newId, p.id, entityCol, timeCol, buckets,
+          batchId, p.columns, p.buckets ++ deltaSlices))
+    }
+  }
+
+  /** Compact buckets that have accumulated more than `maxSlices` slices
+    * (the small-files cost of O(delta) appends — Iceberg's rewrite-data-
+    * files maintenance): each such bucket's slices are read back, rewritten
+    * as ONE sorted slice, and replaced in the manifest by a single entry
+    * whose stats are the FOLD of the replaced ones (no re-hash — same rows,
+    * same digest by xor-associativity). Buckets at or under the threshold
+    * are untouched. Returns the new snapshot id, or the current one if
+    * nothing needed compaction.
+    */
+  def compact(spark: SparkSession, root: String, maxSlices: Int = 8): Long = {
+    val p = currentSnapshot(root)
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    val bySlices = p.buckets.groupBy(_.bucket)
+    val toCompact = bySlices.filter(_._2.size > maxSlices).keys.toSeq.sorted
+    if (toCompact.isEmpty) return p.id
+
+    val newId = p.id + 1
+    val stage = newStage(root, newId)
+    val folded = p.folded
+    toCompact.foreach { k =>
+      bySlices(k).filter(_.rows > 0).map(s => spark.read.parquet(s.dir))
+        .reduce(_.unionByName(_))
+        .sortWithinPartitions(col(p.entityCol), col(p.timeCol))
+        .write.mode("overwrite").parquet(s"${stage.toString}/$BucketCol=$k")
+    }
+    val newBuckets = bySlices.toSeq.sortBy(_._1).flatMap { case (k, ss) =>
+      if (toCompact.contains(k)) {
+        val (rows, wm, dg) = folded(k)
+        Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
+      } else ss
+    }
+    // batchId carries over: compaction must not defeat the replay-skip of
+    // the delta commit it follows (a crash between them would otherwise
+    // re-append the batch on restart)
+    writeManifest(root, Snapshot(newId, p.id, p.entityCol, p.timeCol,
+      p.nbuckets, p.batchId, p.columns, newBuckets))
   }
 
   /** Read the table at a snapshot (default: current). Reconstructs exactly
@@ -176,9 +314,13 @@ object SnapshotTable {
     val snapsDir = Paths.get(root, "snapshots")
     val snaps =
       if (!Files.exists(snapsDir)) Seq.empty[Snapshot]
-      else Files.list(snapsDir).iterator().asScala
-        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
-        .map(p => fromJson(Files.readString(p))).toSeq
+      else {
+        val stream = Files.list(snapsDir)
+        try stream.iterator().asScala
+          .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+          .map(p => fromJson(Files.readString(p))).toSeq
+        finally stream.close()
+      }
     snaps.sortBy(_.id)
       .flatMap(s => s.buckets.map(b => (s.id, s.parent, b.bucket, b.dir,
         b.rows, b.watermark, b.digest, cur.contains(s.id))))
@@ -186,11 +328,12 @@ object SnapshotTable {
         "digest", "is_current")
   }
 
-  /** Global watermark of a snapshot = min over buckets (all buckets complete
-    * up to at least this event time).
+  /** Global watermark of a snapshot = min over buckets of each bucket's
+    * FOLDED (max-over-slices) watermark — all buckets complete up to at
+    * least this event time.
     */
   def watermark(root: String, id: Option[Long] = None): Option[Long] = {
     val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
-    snap.map(_.buckets.map(_.watermark).min)
+    snap.map(_.folded.values.map(_._2).min)
   }
 }

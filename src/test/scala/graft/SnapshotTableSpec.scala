@@ -106,6 +106,98 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(wm == trueMaxPerBucket)
   }
 
+  test("commitDelta: O(delta) input scan, manifests fold-equal to a full recompute") {
+    val root = tmpRoot("delta")
+    val p = Corpus.Params(rows = 4000, entities = 16)
+    val ev = Corpus.events(spark, p).drop("bytes")
+    // both sides come from parquet so the listener's recordsRead tracks
+    // every data-source scan the commit performs
+    val pb = tmpRoot("delta-base"); val pd = tmpRoot("delta-delta")
+    ev.filter(col("seq") < 3600).write.mode("overwrite").parquet(pb)
+    ev.filter(col("seq") >= 3600).write.mode("overwrite").parquet(pd)
+    SnapshotTable.commit(spark.read.parquet(pb), root, "entity_id", "event_ms", buckets = 8)
+
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.commitDelta(spark.read.parquet(pd), root, "entity_id",
+        "event_ms", buckets = 8, batchId = 7L)
+      // listener events are async: poll until the counter quiesces
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the delta (400 rows) is scanned twice (stats + write); the 3600-row
+    // base must NOT be re-read — that was the O(history) scale-killer
+    assert(read.get() >= 400, s"listener saw ${read.get()} records — tracking broken?")
+    assert(read.get() < 3600, s"commitDelta read ${read.get()} records; base was re-scanned")
+
+    // folded manifests byte-equal to a from-scratch full commit
+    val rootFull = tmpRoot("delta-full")
+    SnapshotTable.commit(ev, rootFull, "entity_id", "event_ms", buckets = 8)
+    val sd = SnapshotTable.currentSnapshot(root).get
+    val sf = SnapshotTable.currentSnapshot(rootFull).get
+    assert(sd.folded == sf.folded)
+    assert(sd.batchId == 7L)
+    // content equality via order-insensitive digest
+    val da = digestOf(SnapshotTable.read(spark, root).drop(SnapshotTable.BucketCol)
+      .select(ev.columns.map(col): _*))
+    assert(da == digestOf(ev))
+  }
+
+  test("commitDelta: replayed batchId is skipped (at-least-once idempotence)") {
+    val root = tmpRoot("replay")
+    val ev = Corpus.events(spark, Corpus.Params(rows = 500, entities = 8)).drop("bytes")
+    SnapshotTable.commit(ev.filter(col("seq") < 400), root, "entity_id", "event_ms",
+      buckets = 4, batchId = 0L)
+    val delta = ev.filter(col("seq") >= 400)
+    val id1 = SnapshotTable.commitDelta(delta, root, "entity_id", "event_ms",
+      buckets = 4, batchId = 1L)
+    assert(id1 == 1L)
+    // the crash-after-commit replay: same batch arrives again
+    val id2 = SnapshotTable.commitDelta(delta, root, "entity_id", "event_ms",
+      buckets = 4, batchId = 1L)
+    assert(id2 == 1L, "replayed batch must be skipped, not re-appended")
+    assert(SnapshotTable.currentId(root).contains(1L))
+    assert(SnapshotTable.read(spark, root).count() == 500)
+  }
+
+  test("compact folds slices and preserves content, manifests and batchId") {
+    val root = tmpRoot("compact")
+    val ev = Corpus.events(spark, Corpus.Params(rows = 600, entities = 8)).drop("bytes")
+    SnapshotTable.commit(ev.filter(col("seq") < 100), root, "entity_id", "event_ms",
+      buckets = 4, batchId = 0L)
+    (1 to 5).foreach { i =>
+      SnapshotTable.commitDelta(
+        ev.filter(col("seq") >= i * 100 && col("seq") < (i + 1) * 100),
+        root, "entity_id", "event_ms", buckets = 4, batchId = i.toLong)
+    }
+    val before = SnapshotTable.currentSnapshot(root).get
+    assert(before.buckets.groupBy(_.bucket).values.exists(_.size > 3),
+      "fixture produced no multi-slice bucket — compaction test is vacuous")
+    val dig0 = digestOf(SnapshotTable.read(spark, root).drop(SnapshotTable.BucketCol)
+      .select(ev.columns.map(col): _*))
+
+    SnapshotTable.compact(spark, root, maxSlices = 3)
+    val after = SnapshotTable.currentSnapshot(root).get
+    assert(after.buckets.groupBy(_.bucket).values.forall(_.size <= 3))
+    assert(after.folded == before.folded, "compaction must not change folded manifests")
+    assert(after.batchId == before.batchId, "compaction must preserve the replay token")
+    val dig1 = digestOf(SnapshotTable.read(spark, root).drop(SnapshotTable.BucketCol)
+      .select(ev.columns.map(col): _*))
+    assert(dig1 == dig0)
+    // a no-op compact does not mint a snapshot
+    val idBefore = SnapshotTable.currentId(root).get
+    SnapshotTable.compact(spark, root, maxSlices = 3)
+    assert(SnapshotTable.currentId(root).contains(idBefore))
+  }
+
   test("resume after simulated kill: rerun yields identical snapshot digests") {
     val rootA = tmpRoot("killA")
     val rootB = tmpRoot("killB")
