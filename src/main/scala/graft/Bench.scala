@@ -96,9 +96,10 @@ object Bench {
   }
 
   /** One timed feature-pipeline run over the materialized corpus table;
-    * returns (seconds, featureRows, digest).
+    * returns (seconds, featureRows, digest). Shared with [[BenchCluster]]
+    * (the spark-submit multi-JVM harness).
     */
-  private def corpusRun(spark: SparkSession, path: String, rows: Long): (Double, Long, Long) = {
+  private[graft] def corpusRun(spark: SparkSession, path: String, rows: Long): (Double, Long, Long) = {
     import org.apache.spark.sql.functions._
     val p = Corpus.Params(rows = rows, entities = math.max(64, (rows / 2000).toInt))
     // time bounds are a pure function of the generator params — the
@@ -139,6 +140,118 @@ object Bench {
     } finally s.stop()
   }
 
+  /** Jar the compiled classes (Spark itself comes from the distribution) so
+    * spark-submit can ship them to local-cluster executor JVMs.
+    */
+  private def classesJar(): Option[String] = {
+    val classes = Paths.get("/root/repo/target/scala-2.13/classes")
+    if (!Files.exists(classes.resolve("graft/BenchCluster.class"))) return None
+    Files.createDirectories(Paths.get("/dev/shm/graft-bench"))
+    val jar = "/dev/shm/graft-bench/graft-classes.jar"
+    val jarTool = System.getProperty("java.home") + "/bin/jar"
+    val p = new ProcessBuilder(jarTool, "cf", jar, "-C", classes.toString, ".")
+      .redirectErrorStream(true).start()
+    if (p.waitFor() == 0) Some(jar) else None
+  }
+
+  /** One spark-submit run of [[BenchCluster]] under `master`; returns
+    * (minSec, rows, digest, allRepsJson) parsed from the marker line.
+    */
+  private def submitOnce(jar: String, master: String, path: String,
+      rows: Long, reps: Int): Option[(Double, Long, Long, String)] = {
+    val submit = "/opt/spark/bin/spark-submit"
+    if (!Files.exists(Paths.get(submit))) return None
+    val cmd = java.util.Arrays.asList(submit,
+      "--master", master,
+      "--class", "graft.BenchCluster",
+      "--driver-memory", "6g",
+      "--conf", "spark.executor.memory=3g",
+      "--conf", s"spark.sql.shuffle.partitions=$CorpusShufflePartitions",
+      "--conf", "spark.sql.adaptive.enabled=true",
+      "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
+      "--conf", "spark.sql.files.maxPartitionBytes=33554432",
+      "--conf", "spark.sql.session.timeZone=UTC",
+      "--conf", "spark.local.dir=/dev/shm/graft-spark",
+      "--conf", "spark.ui.enabled=false",
+      jar, path, rows.toString, reps.toString)
+    val pb = new ProcessBuilder(cmd)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val ok = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES) &&
+      proc.exitValue() == 0
+    if (!ok) { proc.destroyForcibly(); return None }
+    val re = """GRAFT_CLUSTER_RESULT \{"sec":([0-9.]+),"rows":(\d+),"digest":(-?\d+),"reps":(\[[^\]]*\])\}""".r
+    re.findFirstMatchIn(out).map(m =>
+      (m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong, m.group(4)))
+  }
+
+  /** The MULTI-JVM scaling pair (round-2 verdict item 2): the same job via
+    * spark-submit under local-cluster[1,2,3072] (N = 1 executor JVM) vs
+    * local-cluster[4,2,3072] (4N = 4 executor JVMs) — real separate
+    * executor processes with their own heaps, serialization boundaries and
+    * shuffle clients, replacing the threads-in-one-JVM extrapolation.
+    * Interleaved visits, min per level, digest cross-check.
+    * Returns (jsonFragment, mdLines).
+    */
+  private def multiJvmScaling(corpusPath: String, corpusRows: Long,
+      threadDigest: Long): Option[(String, String)] = {
+    val repsJvm = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_REPS", "1").toInt
+    val visits = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_VISITS", "2").toInt
+    classesJar().flatMap { jar =>
+      var tBig = Double.MaxValue; var tSmall = Double.MaxValue
+      var digBig = 0L; var digSmall = 0L; var rowsOut = 0L
+      val allBig = scala.collection.mutable.ArrayBuffer.empty[String]
+      val allSmall = scala.collection.mutable.ArrayBuffer.empty[String]
+      var failed = false
+      for (_ <- 0 until visits if !failed) {
+        (submitOnce(jar, "local-cluster[4,2,3072]", corpusPath, corpusRows, repsJvm),
+          submitOnce(jar, "local-cluster[1,2,3072]", corpusPath, corpusRows, repsJvm)) match {
+          case (Some((tb, n, db, rb)), Some((ts, _, ds, rs))) =>
+            tBig = math.min(tBig, tb); tSmall = math.min(tSmall, ts)
+            digBig = db; digSmall = ds; rowsOut = n
+            allBig += rb; allSmall += rs
+            System.err.println(f"[bench] multi-jvm visit big=$tb%.2f s small=$ts%.2f s")
+          case _ =>
+            System.err.println("[bench] multi-jvm submit FAILED — section skipped")
+            failed = true
+        }
+      }
+      if (failed || tBig == Double.MaxValue) None
+      else {
+        val eff = (tSmall / tBig) / 4.0
+        val digestMatch = digBig == digSmall && digBig == threadDigest
+        val json =
+          f""""scaling_multi_jvm":{"master_small":"local-cluster[1,2,3072]",""" +
+            f""""master_big":"local-cluster[4,2,3072]","corpus_rows":$corpusRows,""" +
+            f""""feature_rows":$rowsOut,"sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
+            f""""reps_small":${allSmall.mkString("[", ",", "]")},""" +
+            f""""reps_big":${allBig.mkString("[", ",", "]")},""" +
+            f""""rows_per_sec_small":${(rowsOut / tSmall).toLong},""" +
+            f""""rows_per_sec_big":${(rowsOut / tBig).toLong},""" +
+            f""""efficiency":$eff%.3f,"digest_match":$digestMatch}"""
+        val md =
+          f"""|
+              |Multi-JVM pair (REAL executor JVMs via spark-submit
+              |local-cluster — own heaps, serialization boundaries, shuffle
+              |clients; not threads in one JVM):
+              |
+              || master | executors x cores | wall sec (min) | feature rows/sec |
+              ||---|---|---|---|
+              || local-cluster[1,2,3072] (N) | 1 x 2 | $tSmall%.2f | ${(rowsOut / tSmall).toLong} |
+              || local-cluster[4,2,3072] (4N) | 4 x 2 | $tBig%.2f | ${(rowsOut / tBig).toLong} |
+              |
+              |Multi-JVM scaling efficiency (speedup / 4) = $eff%.3f; output
+              |digests across both levels and the thread-mode runs
+              |${if (digestMatch) "MATCH" else "DIFFER"}.
+              |""".stripMargin
+        Some((json, md))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val maxCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -171,10 +284,19 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       def once(): Double = {
+        import org.apache.spark.sql.functions._
         val t0 = System.nanoTime()
         // each run pays its own operator-internal cache population (released
-        // after), so the timing is the query's honest standalone cost
-        try { fn(spark, sfDir).count() }
+        // after), so the timing is the query's honest standalone cost; the
+        // sink hash-aggregates EVERY output column (round-2 fix: a bare
+        // count() let Catalyst prune deterministic projections, so
+        // projection-only queries benched as scan+count)
+        try {
+          val df = fn(spark, sfDir)
+          val h = df.columns.map(c => xxhash64(col(c))).reduce(_ bitwiseXOR _)
+          df.select(h.as("__h"))
+            .agg(count(lit(1)), expr("bit_xor(__h)")).head()
+        }
         finally graft.operators.Caches.releaseAll()
         (System.nanoTime() - t0) / 1e9
       }
@@ -221,6 +343,12 @@ object Bench {
     val tMax = tMaxs.min
     System.err.println(f"[bench] corpus max local[$maxCores] $tMax%.2f s")
 
+    // --- part 3: multi-JVM pair via spark-submit local-cluster -------------
+    val multiJvm =
+      if (sys.env.getOrElse("SPARK_GRAFT_MULTIJVM", "1") == "1")
+        multiJvmScaling(corpusPath, corpusRows, digBig)
+      else None
+
     val thrBig = rowsOut / tBig
     val thrSmall = rowsOut / tSmall
     val thrMax = rowsOut / tMax
@@ -246,8 +374,9 @@ object Bench {
         f""""efficiency":$efficiency%.3f,"digest_match":${digBig == digSmall && digMax == digBig}}"""
     val total = results.map(_._2).filterNot(_.isNaN).sum +
       repsBig.sum + repsSmall.sum + tMax
+    val multiJvmJson = multiJvm.map("," + _._1).getOrElse("")
     val json =
-      f"""{"metric":"feature_rows_per_sec","value":${thrMax.toLong},"unit":"rows/sec","total_sec":$total%.1f,"queries":$qs,"errors":$errJson,"sf":"$sfDir","scaling":$scaling}"""
+      f"""{"metric":"feature_rows_per_sec","value":${thrMax.toLong},"unit":"rows/sec","total_sec":$total%.1f,"queries":$qs,"errors":$errJson,"sf":"$sfDir","scaling":$scaling$multiJvmJson}"""
     println(json)
     // sbt prefixes forked stdout with [info]; keep a clean copy on disk too
     try Files.writeString(Paths.get("/root/repo/BENCH.json"), json + "\n")
@@ -300,8 +429,10 @@ object Bench {
          |LOWER bound on what the same plan does on a real cluster, and the
          |32-thread level is still measured and reported as the headline
          |throughput (the JSON `value`).
-         |
-         |Headline testdata queries ($sfDir), seconds:
+         |${multiJvm.map(_._2).getOrElse("")}
+         |Headline testdata queries ($sfDir), seconds — each timed with the
+         |same hash-agg-over-every-output-column sink as the corpus job
+         |(nothing prunable; warm run + min of 3):
          |
          |${results.map { case (k, v) => if (v.isNaN) s"| $k | ERR |" else f"| $k | $v%.3f |" }.mkString("| query | sec |\n|---|---|\n", "\n", "")}
          |${if (errors.nonEmpty) errors.map { case (k, m) => s"- ERROR $k: $m" }.mkString("\n", "\n", "\n") else ""}
