@@ -302,6 +302,67 @@ object SnapshotTable {
       .getOrElse(spark.emptyDataFrame)
   }
 
+  /** Read ONLY the rows appended between `fromId` (exclusive) and `toId`
+    * (inclusive, default current): the slices present in `to` but not in
+    * `from` — an O(delta) incremental read straight off the manifests, the
+    * consumer-side twin of [[commitDelta]] (no diffing of data files, no
+    * full-table scan). Compaction rewrites slice identities, so the `from`
+    * snapshot must predate any compaction between the two ids (enforced:
+    * every `from` slice must still be present in `to`).
+    */
+  def readIncremental(spark: SparkSession, root: String, fromId: Long,
+      toId: Option[Long] = None): DataFrame = {
+    val from = snapshot(root, fromId)
+    val to = toId.map(snapshot(root, _)).orElse(currentSnapshot(root))
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    val fromDirs = from.buckets.map(_.dir).toSet
+    require(fromDirs.subsetOf(to.buckets.map(_.dir).toSet),
+      s"snapshot $fromId's slices were compacted away after id ${from.id}; " +
+        "incremental read is only valid across append-only history")
+    to.buckets
+      .filter(b => b.rows > 0 && !fromDirs.contains(b.dir))
+      .map(b => spark.read.parquet(b.dir).withColumn(BucketCol, lit(b.bucket)))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(read(spark, root, Some(to.id)).limit(0))
+  }
+
+  /** Expire snapshots with id < `keepFrom`: delete their manifest files and
+    * every data directory no surviving snapshot references (Iceberg's
+    * expire_snapshots maintenance). Time travel to expired ids stops
+    * working; the CURRENT snapshot and everything it references are always
+    * kept. Returns (manifests deleted, data dirs deleted).
+    */
+  def expireSnapshots(root: String, keepFrom: Long): (Int, Int) = {
+    val snapsDir = Paths.get(root, "snapshots")
+    if (!Files.exists(snapsDir)) return (0, 0)
+    val all = {
+      val stream = Files.list(snapsDir)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+        .map(p => fromJson(Files.readString(p))).toSeq
+      finally stream.close()
+    }
+    val cur = currentId(root).getOrElse(-1L)
+    val bound = math.min(keepFrom, cur) // never expire CURRENT
+    val (dead, alive) = all.partition(_.id < bound)
+    val referenced = alive.flatMap(_.buckets.map(_.dir)).toSet
+    // a slice dir is <stage>/pbucket=k; reclaim whole stage dirs only when
+    // NO slice under them is referenced by a surviving snapshot
+    val deadStageDirs = dead.flatMap(_.buckets.map(b => Paths.get(b.dir).getParent))
+      .distinct
+      .filterNot(stage => referenced.exists(_.startsWith(stage.toString)))
+    deadStageDirs.foreach { stage =>
+      if (Files.exists(stage)) {
+        val walk = Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    dead.foreach(s => Files.deleteIfExists(snapsDir.resolve(s"v${s.id}.json")))
+    (dead.size, deadStageDirs.size)
+  }
+
   /** Per-partition lineage across ALL snapshots as a queryable DataFrame
     * (snapshot_id, parent_id, bucket, dir, rows, watermark, digest,
     * is_current) — the "work table over table metadata" surface (SURVEY.md

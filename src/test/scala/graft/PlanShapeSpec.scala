@@ -39,6 +39,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(executed(df).contains("BroadcastHashJoin"), executed(df))
   }
 
+  test("w1 top-k is one window over one shuffle; q1 is one partial+final agg") {
+    // the two queries that regressed in the round-2 bench (VM stall noise,
+    // not plan changes) — pin the expected shapes so a future regression
+    // with a DIFFERENT plan fails here instead of needing a bench diff
+    val w1 = SparkEntry.queries("w1_topk_per_group")(spark, "/root/testdata/sf0.001")
+    w1.collect()
+    val w1Plan = executed(w1)
+    assert(countOcc(w1Plan, "Window [") == 1, s"expected one window:\n$w1Plan")
+    // the rank<=k filter must push below the shuffle as a partial
+    // WindowGroupLimit (map-side top-k: each of its two phases sorts its
+    // partition, which is why 2 sorts is the RIGHT shape here)
+    assert(w1Plan.contains("WindowGroupLimit"),
+      s"top-k not pushed below the shuffle:\n$w1Plan")
+    assert(countOcc(w1Plan, "Sort ") <= 2, s"extra sort:\n$w1Plan")
+
+    val q1 = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    q1.collect()
+    val q1Plan = executed(q1)
+    assert(countOcc(q1Plan, "HashAggregate") == 2, // partial + final
+      s"expected partial+final hash agg:\n$q1Plan")
+    assert(!q1Plan.contains("Window"), s"unexpected window:\n$q1Plan")
+  }
+
   test("as-of on pinned layout adds no extra exchange beyond the one shuffle") {
     val p = Corpus.Params(rows = 2000, entities = 10)
     val ev = Corpus.events(spark, p).select("entity_id", "event_ms", "seq", "phash")

@@ -198,6 +198,61 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.currentId(root).contains(idBefore))
   }
 
+  test("readIncremental returns exactly the appended rows, straight off manifests") {
+    val root = tmpRoot("incr-read")
+    val ev = Corpus.events(spark, Corpus.Params(rows = 600, entities = 8)).drop("bytes")
+    SnapshotTable.commit(ev.filter(col("seq") < 400), root, "entity_id", "event_ms", buckets = 4)
+    SnapshotTable.commitDelta(ev.filter(col("seq") >= 400 && col("seq") < 500),
+      root, "entity_id", "event_ms", buckets = 4)
+    SnapshotTable.commitDelta(ev.filter(col("seq") >= 500),
+      root, "entity_id", "event_ms", buckets = 4)
+    // everything after snapshot 0 = the two deltas
+    val inc0 = SnapshotTable.readIncremental(spark, root, 0L)
+      .drop(SnapshotTable.BucketCol).select(ev.columns.map(col): _*)
+    assert(inc0.count() == 200)
+    assert(digestOf(inc0) == digestOf(ev.filter(col("seq") >= 400)))
+    // everything after snapshot 1 = only the second delta
+    val inc1 = SnapshotTable.readIncremental(spark, root, 1L)
+      .drop(SnapshotTable.BucketCol).select(ev.columns.map(col): _*)
+    assert(digestOf(inc1) == digestOf(ev.filter(col("seq") >= 500)))
+    // compaction breaks slice identity: incremental read must refuse
+    SnapshotTable.compact(spark, root, maxSlices = 1)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readIncremental(spark, root, 0L)
+    }
+    assert(e.getMessage.contains("compacted"))
+  }
+
+  test("expireSnapshots deletes old manifests and unreferenced data dirs") {
+    val root = tmpRoot("expire")
+    val ev = Corpus.events(spark, Corpus.Params(rows = 600, entities = 8)).drop("bytes")
+    SnapshotTable.commit(ev.filter(col("seq") < 300), root, "entity_id", "event_ms", buckets = 2)
+    SnapshotTable.commitDelta(ev.filter(col("seq") >= 300 && col("seq") < 450),
+      root, "entity_id", "event_ms", buckets = 2)
+    SnapshotTable.commitDelta(ev.filter(col("seq") >= 450),
+      root, "entity_id", "event_ms", buckets = 2)
+    // every early stage is still referenced by the current snapshot's
+    // carried-over slices: expiry drops manifests but reclaims NO data
+    val (m1, d1) = SnapshotTable.expireSnapshots(root, keepFrom = 2L)
+    assert(m1 == 2 && d1 == 0, s"m=$m1 d=$d1")
+    assert(SnapshotTable.read(spark, root).count() == 600)
+
+    // after full compaction the old stages become unreferenced -> reclaimed
+    val cid = SnapshotTable.compact(spark, root, maxSlices = 1)
+    val (m2, d2) = SnapshotTable.expireSnapshots(root, keepFrom = cid)
+    assert(m2 == 1 && d2 >= 1, s"m=$m2 d=$d2")
+    assert(SnapshotTable.read(spark, root).count() == 600)
+    val dig = digestOf(SnapshotTable.read(spark, root).drop(SnapshotTable.BucketCol)
+      .select(ev.columns.map(col): _*))
+    assert(dig == digestOf(ev))
+    // expired ids are gone; CURRENT is never expired even if asked
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "snapshots", "v0.json")))
+    val (m3, _) = SnapshotTable.expireSnapshots(root, keepFrom = Long.MaxValue)
+    assert(m3 == 0)
+    assert(SnapshotTable.read(spark, root).count() == 600)
+  }
+
   test("resume after simulated kill: rerun yields identical snapshot digests") {
     val rootA = tmpRoot("killA")
     val rootB = tmpRoot("killB")
