@@ -71,6 +71,24 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
 
+    // ---- S2/S9 incremental: delta append + manifest-driven incremental read --
+    // base commit (even doc_ids) + commitDelta (odd doc_ids), then
+    // readIncremental(from = snapshot 0) must return EXACTLY the delta —
+    // the O(delta) consumer path over slice manifests, oracle'd by the
+    // equivalent predicate over the source table
+    "s2_incremental_read" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-incr").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(
+        docs.where(col("doc_id") % 2 === 0), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") % 2 === 1), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.readIncremental(s, root, 0L)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    }),
+
     // ---- S4/S5: CSV write + schema'd read roundtrip --------------------------
     "s4_csv_roundtrip" -> ((s, d) => {
       val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
@@ -105,6 +123,8 @@ object QueriesMisc {
          FROM orders GROUP BY 1""",
     "s2_snapshot_roundtrip" ->
       "SELECT doc_id, lang, length(text) AS text_len FROM documents",
+    "s2_incremental_read" ->
+      "SELECT doc_id, lang, length(text) AS text_len FROM documents WHERE doc_id % 2 = 1",
     "s4_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region"
   )

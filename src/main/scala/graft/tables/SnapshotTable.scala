@@ -270,11 +270,13 @@ object SnapshotTable {
     val newId = p.id + 1
     val stage = newStage(root, newId)
     val folded = p.folded
-    toCompact.foreach { k =>
-      bySlices(k).filter(_.rows > 0).map(s => spark.read.parquet(s.dir))
-        .reduce(_.unionByName(_))
-        .sortWithinPartitions(col(p.entityCol), col(p.timeCol))
-        .write.mode("overwrite").parquet(s"${stage.toString}/$BucketCol=$k")
+    // ONE job for all compacted buckets (not a driver loop of per-bucket
+    // jobs): union per bucket, one shuffle hash-partitioned by bucket, one
+    // sorted file per bucket out of partitionBy
+    readSlices(spark, toCompact.flatMap(k => bySlices(k))).foreach { df =>
+      df.repartition(toCompact.size, col(BucketCol))
+        .sortWithinPartitions(col(BucketCol), col(p.entityCol), col(p.timeCol))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
     }
     val newBuckets = bySlices.toSeq.sortBy(_._1).flatMap { case (k, ss) =>
       if (toCompact.contains(k)) {
@@ -289,17 +291,26 @@ object SnapshotTable {
       p.nbuckets, p.batchId, p.columns, newBuckets))
   }
 
+  /** One multi-path scan per BUCKET (not per slice): the union tree is
+    * O(buckets) wide regardless of how many append slices accumulated, so
+    * the logical plan stays small under long append histories.
+    */
+  private def readSlices(spark: SparkSession,
+      slices: Seq[BucketManifest]): Option[DataFrame] =
+    slices.filter(_.rows > 0).groupBy(_.bucket).toSeq.sortBy(_._1)
+      .map { case (k, ss) =>
+        spark.read.parquet(ss.map(_.dir).distinct: _*)
+          .withColumn(BucketCol, lit(k))
+      }
+      .reduceOption(_.unionByName(_))
+
   /** Read the table at a snapshot (default: current). Reconstructs exactly
     * the committed content, including the bucket column.
     */
   def read(spark: SparkSession, root: String, id: Option[Long] = None): DataFrame = {
     val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
-    snap.buckets
-      .filter(b => b.rows > 0)
-      .map(b => spark.read.parquet(b.dir).withColumn(BucketCol, lit(b.bucket)))
-      .reduceOption(_.unionByName(_))
-      .getOrElse(spark.emptyDataFrame)
+    readSlices(spark, snap.buckets).getOrElse(spark.emptyDataFrame)
   }
 
   /** Read ONLY the rows appended between `fromId` (exclusive) and `toId`
@@ -319,10 +330,7 @@ object SnapshotTable {
     require(fromDirs.subsetOf(to.buckets.map(_.dir).toSet),
       s"snapshot $fromId's slices were compacted away after id ${from.id}; " +
         "incremental read is only valid across append-only history")
-    to.buckets
-      .filter(b => b.rows > 0 && !fromDirs.contains(b.dir))
-      .map(b => spark.read.parquet(b.dir).withColumn(BucketCol, lit(b.bucket)))
-      .reduceOption(_.unionByName(_))
+    readSlices(spark, to.buckets.filterNot(b => fromDirs.contains(b.dir)))
       .getOrElse(read(spark, root, Some(to.id)).limit(0))
   }
 
