@@ -347,10 +347,18 @@ object Bench {
     }
 
     // headline throughput at full machine parallelism (not part of the
-    // scaling pair; the 8->32 region is hypervisor-limited, see above)
-    val (tMaxs, _, digMax) = level(maxCores, corpusPath, corpusRows, 3)
-    val tMax = tMaxs.min
-    System.err.println(f"[bench] corpus max local[$maxCores] $tMax%.2f s")
+    // scaling pair; the 8->32 region is hypervisor-limited, see above).
+    // TWO warmed visits x 2 reps: a single visit lets one of this VM's
+    // multi-second stall windows poison every draw of the headline number
+    // (observed 11.7 vs 15.3 s across otherwise identical runs)
+    val maxDraws = (1 to 2).flatMap { _ =>
+      val (ts, _, dg) = level(maxCores, corpusPath, corpusRows, 2)
+      ts.map(t => (t, dg))
+    }
+    val tMax = maxDraws.map(_._1).min
+    val digMax = maxDraws.head._2
+    System.err.println(f"[bench] corpus max local[$maxCores] $tMax%.2f s " +
+      f"(draws ${maxDraws.map(d => f"${d._1}%.2f").mkString(",")})")
 
     // --- part 3: multi-JVM pair via spark-submit local-cluster -------------
     val multiJvm =

@@ -98,6 +98,75 @@ object Text {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
+  // alphabetical lang order (the tie-break order of langId's fold) and a
+  // marker -> lang bitmask table ("la" belongs to es AND fr — a marker may
+  // score several languages, exactly as four independent filters do)
+  private val langsSorted: Array[String] = langMarkers.keys.toArray.sorted
+  private val markerMask: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    langsSorted.zipWithIndex.foreach { case (lang, i) =>
+      langMarkers(lang).foreach(w => m.put(w, Integer.valueOf(
+        (if (m.containsKey(w)) m.get(w) else 0) | (1 << i))))
+    }
+    m
+  }
+  private val maxMarkerLen: Int = langMarkers.values.flatten.map(_.length).max
+
+  /** Typed single-pass twin of [[langId]] — same semantics (spec-asserted
+    * equal on generated and edge-case docs): one scan of the string, no
+    * token-array materialization, no interpreted array-HOF lambdas. The
+    * column form is ~4 filter() higher-order functions per row, which stay
+    * outside whole-stage codegen; this is the hot-path form for
+    * corpus-scale language id (same `*Fast` pattern as
+    * [[graft.operators.Dedup.minhashSignatureFast]]).
+    */
+  val langIdFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) "und"
+      else {
+        val counts = new Array[Int](langsSorted.length)
+        val n = text.length
+        val buf = new Array[Char](maxMarkerLen)
+        var i = 0
+        while (i < n) {
+          val c = text.charAt(i)
+          // the \s class of split("\\s+"): exactly these six ASCII chars
+          if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+            i += 1
+          } else {
+            var j = i + 1
+            while (j < n && {
+              val d = text.charAt(j)
+              !(d == ' ' || d == '\t' || d == '\n' || d == '\u000B' || d == '\f' || d == '\r')
+            }) j += 1
+            val len = j - i
+            if (len <= maxMarkerLen) {
+              var k = 0
+              while (k < len) { buf(k) = Character.toLowerCase(text.charAt(i + k)); k += 1 }
+              val mask = markerMask.get(new String(buf, 0, len))
+              if (mask != null) {
+                var b = 0
+                val mv = mask.intValue()
+                while (b < counts.length) {
+                  if ((mv & (1 << b)) != 0) counts(b) += 1
+                  b += 1
+                }
+              }
+            }
+            i = j
+          }
+        }
+        var best = -1
+        var bestScore = 0
+        var b = 0
+        while (b < counts.length) {
+          if (counts(b) > bestScore) { bestScore = counts(b); best = b }
+          b += 1
+        }
+        if (best < 0) "und" else langsSorted(best)
+      }
+    }
+
   /** Deterministic 64-bit document fingerprint: rotate-xor rolling hash over
     * the token sequence (order-sensitive, whitespace-normalized) — exact-dup
     * detection key that is stable across partitionings. Uses shift/xor only,

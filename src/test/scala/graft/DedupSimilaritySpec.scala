@@ -118,6 +118,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("langIdFast equals the Text.langId column form on corpus and edge docs") {
+    // generated docs (marker-bearing captions) + edge cases: null, empty,
+    // whitespace-only, tabs/VT separators, uppercase markers, overlapping
+    // markers ("la" scores es AND fr), ties (alphabetical winner)
+    val extra = Seq(
+      (9001L, "THE Der la la une est"), (9002L, "la"), (9003L, "le la"),
+      (9004L, "der die und the and of"), (9005L, "xyz qwerty asdf"),
+      (9006L, "elque\tlos\nuna"), (9007L, "is with for the and of"))
+    val d = (docs(40, 77L) ++ edgeTexts ++ extra).toDF("doc_id", "text")
+    val both = d.select(col("doc_id"),
+        graft.functions.Text.langId(col("text")).as("viaExpr"),
+        graft.functions.Text.langIdFast(col("text")).as("viaFast"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: expr=${r.getString(1)} fast=${r.getString(2)}")
+    }
+  }
+
   test("minhashSignatureFast is bit-identical to the HOF reference formulation") {
     val d = (docs(25, 31L) ++ edgeTexts).toDF("doc_id", "text")
     val hof = d.select(col("doc_id"),
