@@ -108,8 +108,15 @@ object QueriesAgg {
           round(min(col("value")), 4).as("min_v"),
           round(max(col("value")), 4).as("max_v"),
           round(expr("percentile(value, 0.5)"), 4).as("median_v"),
-          min_by(col("event_id"), col("value")).as("argmin_id"),
-          max_by(col("event_id"), col("value")).as("argmax_id"))),
+          // arg* with a composite struct ordering: bare min_by/max_by are
+          // NONDETERMINISTIC under value ties (surfaced at sf0.1, where two
+          // rows share the max) — the tiebreak is "smallest event_id", so
+          // the struct orders by (value, id) for argmin and (value, -id)
+          // for argmax, still one map-side-combinable pass
+          min_by(col("event_id"),
+            struct(col("value"), col("event_id"))).as("argmin_id"),
+          max_by(col("event_id"),
+            struct(col("value"), (-col("event_id")).as("nid"))).as("argmax_id"))),
 
     // ---- A16: distinct count after rounding ---------------------------------
     "a16_distinct_rounded" -> ((s, d) =>
@@ -311,11 +318,17 @@ object QueriesAgg {
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
     "a15_order_stats" ->
-      """SELECT event_type, round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
-         round(quantile_cont(value, 0.5), 4) AS median_v,
-         arg_min(event_id, value) AS argmin_id,
-         arg_max(event_id, value) AS argmax_id
-         FROM events GROUP BY event_type""",
+      """WITH s AS (SELECT event_type, round(min(value), 4) AS min_v,
+             round(max(value), 4) AS max_v,
+             round(quantile_cont(value, 0.5), 4) AS median_v,
+             min(value) AS mn, max(value) AS mx
+           FROM events GROUP BY event_type)
+         SELECT event_type, min_v, max_v, median_v,
+           (SELECT min(e.event_id) FROM events e
+             WHERE e.event_type = s.event_type AND e.value = s.mn) AS argmin_id,
+           (SELECT min(e.event_id) FROM events e
+             WHERE e.event_type = s.event_type AND e.value = s.mx) AS argmax_id
+         FROM s""",
     "a16_distinct_rounded" ->
       """SELECT event_type, count(DISTINCT round(value, 2)) AS n_distinct,
          count(*) AS n FROM events GROUP BY event_type""",
