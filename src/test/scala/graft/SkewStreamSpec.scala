@@ -163,6 +163,33 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(lin.where(col("snapshot_id") === 1L).agg(sum("rows")).head.getLong(0) == 600L)
   }
 
+  test("commitStream crash-replay window: re-delivered batchId is not double-applied") {
+    // foreachBatch is at-least-once: a crash AFTER SnapshotTable.commitDelta
+    // swapped CURRENT but BEFORE the streaming checkpoint recorded the batch
+    // makes the restarted query re-deliver the SAME batchId. Simulate that
+    // exact window: pre-commit the first batch's content under the batchId a
+    // fresh checkpoint will assign (0), then run the stream — the re-delivery
+    // must be skipped, not appended a second time.
+    val p = Corpus.Params(rows = 400, entities = 6)
+    val ev = Corpus.events(spark, p).drop("bytes")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-replay-src").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-replay-root").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-replay-ckpt").toString
+    ev.coalesce(1).write.mode("append").parquet(srcDir)
+    // "crashed run": the commit landed, the checkpoint did not
+    graft.tables.SnapshotTable.commitDelta(
+      spark.read.parquet(srcDir), root, "entity_id", "event_ms",
+      buckets = 4, batchId = 0L)
+    assert(graft.tables.SnapshotTable.read(spark, root).count() == 400)
+    // "restarted run": fresh checkpoint re-delivers the files as batch 0
+    StreamOps.commitStream(
+      spark.readStream.schema(ev.schema).parquet(srcDir),
+      root, "entity_id", "event_ms", ckpt, buckets = 4)
+    assert(graft.tables.SnapshotTable.read(spark, root).count() == 400,
+      "re-delivered batch was appended twice")
+    assert(graft.tables.SnapshotTable.currentId(root).contains(0L))
+  }
+
   test("streaming exact dedup keeps one row per text within the watermark") {
     // bounded corpus with PLANTED exact dups: every 10th caption re-arrives
     // later (well inside the watermark) and must be dropped
