@@ -490,11 +490,16 @@ object Dedup {
         .where(size(col("__h")) > 0)
         .withColumn("__sz", size(col("__h")).cast("long")))
     val grams = sets.select(col("__id"), col("__sz"), explode(col("__h")).as("__g"))
-    val dfreq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    // gram document frequency via a count-over-partition window: the SAME
+    // single shuffle by __g that a groupBy would cost, but the count lands
+    // on the posting rows directly — no second aggregate side, no join
+    // back (one exchange fewer than the groupBy+join formulation)
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
     // per-doc prefix: the |A| − ceil(t·|A|) + 1 globally-rarest grams
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
       .orderBy(col("__df"), col("__g"))
-    val prefix = grams.join(dfreq, Seq("__g"))
+    val prefix = grams
+      .withColumn("__df", count(lit(1)).over(wGram))
       .withColumn("__rn", row_number().over(wDoc))
       .where(col("__rn") <= col("__sz") - ceil(lit(minJaccard) * col("__sz")) + 1 &&
         col("__df") <= maxPrefixDf)
