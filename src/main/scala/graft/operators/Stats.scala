@@ -35,20 +35,25 @@ object Stats {
     * use rank + mean-of-ranks correction): here we use dense positional ranks
     * via `rank()` which averages ties by construction of corr over ranks.
     */
+  /** Average ("fractional") rank of `c` within `group`: rank() gives
+    * min-rank for ties; average rank = min rank + (peers-1)/2. The peer
+    * count comes from a RANGE CURRENT ROW..CURRENT ROW frame over the SAME
+    * ordered window as the rank — Spark folds both into one WindowExec, so
+    * an average-ranked column costs exactly ONE shuffle+sort (a
+    * partitionBy(group, c) tie window would add a second exchange).
+    */
+  private def avgRankCol(group: Seq[String], c: Column): Column = {
+    val w = Window.partitionBy(group.map(col): _*).orderBy(c)
+    val peers = w.rangeBetween(Window.currentRow, Window.currentRow)
+    rank().over(w) + (count(lit(1)).over(peers) - 1) / 2.0
+  }
+
   def spearman(df: DataFrame, group: Seq[String], x: String, y: String,
-      as: String = "spearman"): DataFrame = {
-    // average ("fractional") ranks: rank() gives min-rank for ties; average
-    // rank = min rank + (ties-1)/2, computed via count over the tie window.
-    def avgRank(c: String): Column = {
-      val w = Window.partitionBy(group.map(col): _*).orderBy(col(c))
-      val tieW = Window.partitionBy((group.map(col) :+ col(c)): _*)
-      rank().over(w) + (count(lit(1)).over(tieW) - 1) / 2.0
-    }
-    df.withColumn("__rx", avgRank(x))
-      .withColumn("__ry", avgRank(y))
+      as: String = "spearman"): DataFrame =
+    df.withColumn("__rx", avgRankCol(group, col(x)))
+      .withColumn("__ry", avgRankCol(group, col(y)))
       .groupBy(group.map(col): _*)
       .agg(corr(col("__rx"), col("__ry")).as(as))
-  }
 
   /** Closed-form simple linear regression per group
     * (`helper/computeInteractionMatrix.R:66-67`): slope/intercept of y~x.
@@ -283,9 +288,7 @@ object Stats {
     */
   def rankSumU(df: DataFrame, group: Seq[String], classCol: String,
       classA: String, value: String): DataFrame = {
-    val w = Window.partitionBy(group.map(col): _*).orderBy(col(value))
-    val tieW = Window.partitionBy((group.map(col) :+ col(value)): _*)
-    df.withColumn("__r", rank().over(w) + (count(lit(1)).over(tieW) - 1) / 2.0)
+    df.withColumn("__r", avgRankCol(group, col(value)))
       .groupBy(group.map(col): _*)
       .agg(
         sum(when(col(classCol) === classA, col("__r"))).as("__r1"),
@@ -353,10 +356,12 @@ object Stats {
     val d = df.withColumn("__d", col(x) - col(y))
       .where(col("__d") =!= 0.0)
       .withColumn("__ad", abs(col("__d")))
+    // rank + peer count share ONE ordered window (see avgRankCol): the
+    // whole ranking costs a single shuffle+sort
     val w = Window.partitionBy(group.map(col): _*).orderBy(col("__ad"))
-    val tieW = Window.partitionBy((group.map(col) :+ col("__ad")): _*)
+    val peers = w.rangeBetween(Window.currentRow, Window.currentRow)
     val ranked = d
-      .withColumn("__tc", count(lit(1)).over(tieW))
+      .withColumn("__tc", count(lit(1)).over(peers))
       .withColumn("__r", rank().over(w) + (col("__tc") - 1) / 2.0)
     // each row of a size-t tie run contributes t^2 - 1; summed over the run
     // that is t^3 - t, so the group sum is exactly sum(t^3 - t) over runs
