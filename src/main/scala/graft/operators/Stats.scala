@@ -341,6 +341,72 @@ object Stats {
       .drop("__tie")
   }
 
+  /** Exact two-sided Mann–Whitney p-value for the NO-TIES case (the
+    * default R `wilcox.test` takes when both samples are < 50 and tie-free
+    * — the reference's `rstatix::wilcox_test` path): counts rank-subsets by
+    * the standard cwilcox recurrence c(u; m, n) = c(u-n; m-1, n) +
+    * c(u; m, n-1), then p = min(1, 2·P(tail)) with R's exact tail split
+    * (upper tail from u when U > mn/2). Driver/executor scalar — O(m·n·u)
+    * memoized, fine for the statistical group sizes exact inference is
+    * defined for.
+    */
+  def exactRankSumP(n1: Int, n2: Int, u: Double): Double = {
+    require(n1 > 0 && n2 > 0, "exactRankSumP needs both samples non-empty")
+    require(u == math.rint(u), s"U=$u is not integral — ties present; use the normal approximation")
+    // boxed value type on purpose: a [Long, Double] map would unbox a miss
+    // (null) to 0.0 and poison every count
+    val memo = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    def c(k: Int, m: Int, n: Int): Double = {
+      if (k < 0 || k > m.toLong * n) 0.0
+      else if (m == 0 || n == 0) { if (k == 0) 1.0 else 0.0 }
+      else {
+        val key = java.lang.Long.valueOf((k.toLong << 24) ^ (m.toLong << 12) ^ n.toLong)
+        val hit = memo.get(key)
+        if (hit ne null) hit.doubleValue()
+        else {
+          val v = c(k - n, m - 1, n) + c(k, m, n - 1)
+          memo.put(key, java.lang.Double.valueOf(v))
+          v
+        }
+      }
+    }
+    val mn = n1.toLong * n2
+    val total = (1 to n1).foldLeft(1.0)((acc, i) => acc * (n2 + i) / i) // C(n1+n2, n1)
+    val ui = math.rint(u).toLong
+    val p0 =
+      if (ui > mn / 2.0) { // upper tail: P(U >= u) = P(U <= mn - u) by symmetry
+        (0L to (mn - ui)).map(k => c(k.toInt, n1, n2)).sum / total
+      } else {
+        (0L to ui).map(k => c(k.toInt, n1, n2)).sum / total
+      }
+    math.min(1.0, 2.0 * p0)
+  }
+
+  /** [[rankSumTest]] with R's default small-sample behavior: when both
+    * classes have <= `maxExact` rows AND the pooled values are tie-free,
+    * the p-value is the EXACT permutation p (via [[exactRankSumP]]);
+    * otherwise the tie-corrected normal approximation. `method` records
+    * which was used per group.
+    */
+  def rankSumTestExact(df: DataFrame, group: Seq[String], classCol: String,
+      classA: String, value: String, maxExact: Int = 50): DataFrame = {
+    val base = rankSumTest(df, group, classCol, classA, value)
+    val ties = df.groupBy((group.map(col) :+ col(value)): _*)
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(group.map(col): _*)
+      .agg(max(col("__t")).as("__maxt"))
+    val pe = udf((n1: Long, n2: Long, u: Double) =>
+      exactRankSumP(n1.toInt, n2.toInt, u))
+    val exactOk = col("n1") <= maxExact && col("n2") <= maxExact &&
+      col("n1") > 0 && col("n2") > 0 && col("__maxt") === 1
+    base.join(ties, group)
+      .withColumn("method", when(exactOk, lit("exact")).otherwise(lit("normal")))
+      .withColumn("p_value",
+        when(exactOk, pe(col("n1"), col("n2"), col("u_stat")))
+          .otherwise(col("p_value")))
+      .drop("__maxt")
+  }
+
   /** Paired Wilcoxon signed-rank test per group
     * (`Fig3_4_violin.R:96-100` `method = "wilcox.test", paired = TRUE`):
     * d = x - y per pair, zeros dropped (R's default zero handling), |d|

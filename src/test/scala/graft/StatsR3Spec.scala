@@ -95,6 +95,39 @@ class StatsR3Spec extends AnyFunSuite {
     assert(math.abs(z.getAs[Double]("pearson") - plain.getAs[Double]("pearson")) < 1e-12)
   }
 
+  test("exactRankSumP matches textbook permutation p-values") {
+    // closed-form golden values (total = C(n1+n2, n1)):
+    // U=0 extremes: p = 2/total; U=1 at 3v3: 2 subsets in the tail
+    assert(math.abs(Stats.exactRankSumP(3, 3, 0.0) - 2.0 / 20) < 1e-12)
+    assert(math.abs(Stats.exactRankSumP(4, 4, 0.0) - 2.0 / 70) < 1e-12)
+    assert(math.abs(Stats.exactRankSumP(5, 5, 0.0) - 2.0 / 252) < 1e-12)
+    assert(math.abs(Stats.exactRankSumP(3, 3, 1.0) - 4.0 / 20) < 1e-12)
+    // symmetry: U = mn is as extreme as U = 0
+    assert(math.abs(Stats.exactRankSumP(3, 3, 9.0) - 2.0 / 20) < 1e-12)
+    // central U: R gives p = 1 (wilcox.test(c(1,4), c(2,3)))
+    assert(Stats.exactRankSumP(2, 2, 2.0) == 1.0)
+    // non-integral U means ties: must refuse
+    intercept[IllegalArgumentException](Stats.exactRankSumP(3, 3, 1.5))
+  }
+
+  test("rankSumTestExact: exact for small tie-free groups, normal otherwise") {
+    // group "s": tie-free 3v3 with U=0 -> exact p = 0.1
+    // group "t": has a tie -> falls back to the normal approximation
+    val small = Seq(("s", "A", 1.0), ("s", "A", 2.0), ("s", "A", 3.0),
+      ("s", "B", 4.0), ("s", "B", 5.0), ("s", "B", 6.0),
+      ("t", "A", 1.0), ("t", "A", 1.0), ("t", "A", 2.0),
+      ("t", "B", 3.0), ("t", "B", 4.0), ("t", "B", 5.0))
+      .toDF("grp", "cls", "v")
+    val r = Stats.rankSumTestExact(small, Seq("grp"), "cls", "A", "v")
+      .collect().map(x => x.getAs[String]("grp") ->
+        ((x.getAs[String]("method"), x.getAs[Double]("p_value")))).toMap
+    assert(r("s")._1 == "exact" && math.abs(r("s")._2 - 0.1) < 1e-12, s"got ${r("s")}")
+    assert(r("t")._1 == "normal", s"got ${r("t")}")
+    val normal = Stats.rankSumTest(small.where(col("grp") === "t"),
+      Seq("grp"), "cls", "A", "v").head().getAs[Double]("p_value")
+    assert(math.abs(r("t")._2 - normal) < 1e-12)
+  }
+
   test("kendall fails fast with a clear error on a fact-scale group") {
     val df = spark.range(0, 5000).select(lit("g").as("grp"),
       col("id").cast("double").as("x"), (col("id") * 2).cast("double").as("y"))
