@@ -57,6 +57,22 @@ object QueriesR3 {
           round(col("z") + 1e-7, 4).as("z"),
           round(col("p_value") + 1e-7, 4).as("p_value"))),
 
+    // ---- A13 exact: small-sample exact Mann-Whitney p (R's default) --------
+    // fixture: nation keys of regions 0 vs 1 — 5 v 5, tie-free, so the
+    // exact path triggers; the oracle recomputes U independently in SQL and
+    // maps it through the PUBLISHED pwilcox(5,5) two-sided table (the same
+    // textbook constants the StatsR3Spec goldens pin)
+    "a13_rank_sum_exact" -> ((s, d) =>
+      Stats.rankSumTestExact(
+        t(s, d, "nation").filter(col("n_regionkey").isin(0, 1))
+          .withColumn("g", lit("all"))
+          .withColumn("cls", when(col("n_regionkey") === 0, "A").otherwise("B"))
+          .withColumn("v", col("n_nationkey").cast("double")),
+        Seq("g"), "cls", "A", "v")
+        .select(col("g"), col("n1"), col("n2"),
+          round(col("u_stat"), 2).as("u_stat"), col("method"),
+          round(col("p_value") + 1e-7, 6).as("p_value"))),
+
     // ---- A12 derived: accuracy/sensitivity/specificity/precision/kappa -----
     "a12_confusion_stats" -> ((s, d) =>
       Stats.confusionStats(
@@ -137,6 +153,29 @@ object QueriesR3 {
             round(z + 1e-7, 4) AS z,
             round(${pSql("z")} + 1e-7, 4) AS p_value
           FROM zc""",
+    "a13_rank_sum_exact" ->
+      """WITH f AS (SELECT CASE WHEN n_regionkey = 0 THEN 'A' ELSE 'B' END AS cls,
+             CAST(n_nationkey AS DOUBLE) AS v
+           FROM nation WHERE n_regionkey IN (0, 1)),
+          r AS (SELECT cls,
+             rank() OVER (ORDER BY v)
+               + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk FROM f),
+          u0 AS (SELECT count(*) FILTER (WHERE cls = 'A') AS n1,
+             count(*) FILTER (WHERE cls <> 'A') AS n2,
+             sum(rk) FILTER (WHERE cls = 'A') AS r1 FROM r),
+          u AS (SELECT n1, n2, r1 - n1 * (n1 + 1) / 2.0 AS u_stat FROM u0),
+          k AS (SELECT *, CAST(least(u_stat, n1 * n2 - u_stat) AS INTEGER) AS kk FROM u)
+          SELECT 'all' AS g, n1, n2, round(u_stat, 2) AS u_stat,
+            'exact' AS method,
+            round(CASE kk
+              WHEN 0 THEN 0.007936507936507936 WHEN 1 THEN 0.015873015873015872
+              WHEN 2 THEN 0.031746031746031744 WHEN 3 THEN 0.05555555555555555
+              WHEN 4 THEN 0.09523809523809523 WHEN 5 THEN 0.15079365079365079
+              WHEN 6 THEN 0.2222222222222222 WHEN 7 THEN 0.30952380952380953
+              WHEN 8 THEN 0.42063492063492064 WHEN 9 THEN 0.5476190476190477
+              WHEN 10 THEN 0.6904761904761905 WHEN 11 THEN 0.8412698412698413
+              ELSE 1.0 END + 1e-7, 6) AS p_value
+          FROM k""",
     "a12_confusion_stats" ->
       """WITH b AS (SELECT CAST(o_custkey % 3 AS INTEGER) AS seg,
             (o_orderstatus = 'F') AS act,
