@@ -325,10 +325,14 @@ object Stats {
   def rankSumTest(df: DataFrame, group: Seq[String], classCol: String,
       classA: String, value: String): DataFrame = {
     val u = rankSumU(df, group, classCol, classA, value)
+    // the cube MUST run in double: a tie run over ~2.09M rows cubed in Long
+    // silently wraps (ANSI off) and corrupts sigma exactly at fact scale;
+    // the DuckDB oracle casts before cubing too, so the engines stay equal
     val ties = df.groupBy((group.map(col) :+ col(value)): _*)
       .agg(count(lit(1)).as("__t"))
       .groupBy(group.map(col): _*)
-      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__tie"))
+      .agg(sum(col("__t").cast("double") * col("__t") * col("__t") - col("__t"))
+        .as("__tie"))
     val n = col("n1") + col("n2")
     val mu = col("n1") * col("n2") / 2.0
     val sigma = sqrt(col("n1") * col("n2") / 12.0 *
@@ -383,10 +387,12 @@ object Stats {
   }
 
   /** [[rankSumTest]] with R's default small-sample behavior: when both
-    * classes have <= `maxExact` rows AND the pooled values are tie-free,
-    * the p-value is the EXACT permutation p (via [[exactRankSumP]]);
-    * otherwise the tie-corrected normal approximation. `method` records
-    * which was used per group.
+    * classes have STRICTLY fewer than `maxExact` rows (R's `wilcox.test`
+    * switches on `n.x < 50 && n.y < 50` — exactly 50 gets the
+    * approximation) AND the pooled values are tie-free, the p-value is the
+    * EXACT permutation p (via [[exactRankSumP]]); otherwise the
+    * tie-corrected normal approximation. `method` records which was used
+    * per group.
     */
   def rankSumTestExact(df: DataFrame, group: Seq[String], classCol: String,
       classA: String, value: String, maxExact: Int = 50): DataFrame = {
@@ -397,7 +403,7 @@ object Stats {
       .agg(max(col("__t")).as("__maxt"))
     val pe = udf((n1: Long, n2: Long, u: Double) =>
       exactRankSumP(n1.toInt, n2.toInt, u))
-    val exactOk = col("n1") <= maxExact && col("n2") <= maxExact &&
+    val exactOk = col("n1") < maxExact && col("n2") < maxExact &&
       col("n1") > 0 && col("n2") > 0 && col("__maxt") === 1
     base.join(ties, group)
       .withColumn("method", when(exactOk, lit("exact")).otherwise(lit("normal")))
@@ -441,10 +447,10 @@ object Stats {
   }
 
   /** [[signedRank]] with R's default small-sample behavior: EXACT
-    * permutation p (via [[exactSignedRankP]]) when the group has <=
-    * `maxExact` nonzero differences and their magnitudes are tie-free;
-    * tie-corrected normal approximation otherwise. `method` records the
-    * choice per group.
+    * permutation p (via [[exactSignedRankP]]) when the group has STRICTLY
+    * fewer than `maxExact` nonzero differences (R switches on `n < 50`)
+    * and their magnitudes are tie-free; tie-corrected normal approximation
+    * otherwise. `method` records the choice per group.
     */
   def signedRankExact(df: DataFrame, group: Seq[String], x: String,
       y: String, maxExact: Int = 50): DataFrame = {
@@ -456,7 +462,7 @@ object Stats {
       .groupBy(group.map(col): _*)
       .agg(max(col("__t")).as("__maxt"))
     val pe = udf((nr: Long, w: Double) => exactSignedRankP(nr.toInt, w))
-    val exactOk = col("n_nonzero") > 0 && col("n_nonzero") <= maxExact &&
+    val exactOk = col("n_nonzero") > 0 && col("n_nonzero") < maxExact &&
       col("__maxt") === 1
     base.join(ties, group)
       .withColumn("method", when(exactOk, lit("exact")).otherwise(lit("normal")))
@@ -494,7 +500,9 @@ object Stats {
       .agg(
         sum(when(col("__d") > 0, col("__r")).otherwise(lit(0.0))).as("w_stat"),
         count(lit(1)).as("n_nonzero"),
-        sum(col("__tc") * col("__tc") - 1).as("__tie"))
+        // double before squaring — same Long-wrap hazard as rankSumTest's
+        // cube for fact-scale tie runs; matches the oracle's CAST
+        sum(col("__tc").cast("double") * col("__tc") - 1).as("__tie"))
     val nr = col("n_nonzero")
     val mu = nr * (nr + 1) / 4.0
     val sigma = sqrt(nr * (nr + 1) * (nr * 2 + 1) / 24.0 - col("__tie") / 48.0)

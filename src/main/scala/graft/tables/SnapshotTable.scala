@@ -77,20 +77,38 @@ object SnapshotTable {
     m.group(1).stripPrefix("\"").stripSuffix("\"")
   }
 
+  private def fieldOpt(json: String, name: String): Option[String] =
+    (s""""$name":("[^"]*"|-?\\d+)""").r.findFirstMatchIn(json)
+      .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+
+  /** Parse a manifest. `nbuckets`/`batch_id`/`columns` arrived with the
+    * round-3 slice format; manifests written by the earlier format stay
+    * readable with semantics-preserving defaults: nbuckets from the highest
+    * bucket id present, batchId = -1 ("not a streaming commit"), columns
+    * empty (= skip the schema check on append — the pre-upgrade contract).
+    */
   private def fromJson(json: String): Snapshot = {
-    val colsPart = json.substring(json.indexOf("\"columns\":") + 10)
-    val cols = "\"([^\"]*)\"".r
-      .findAllMatchIn(colsPart.substring(0, colsPart.indexOf(']')))
-      .map(_.group(1)).toSeq
+    val cols = json.indexOf("\"columns\":") match {
+      case -1 => Seq.empty[String]
+      case i =>
+        val colsPart = json.substring(i + 10)
+        "\"([^\"]*)\"".r
+          .findAllMatchIn(colsPart.substring(0, colsPart.indexOf(']')))
+          .map(_.group(1)).toSeq
+    }
     val bucketsPart = json.substring(json.indexOf("\"buckets\":") + 10)
     val items = "\\{[^{}]*\\}".r.findAllIn(bucketsPart).toSeq
+    val buckets = items.map(it =>
+      BucketManifest(field(it, "bucket").toInt, field(it, "dir"),
+        field(it, "rows").toLong, field(it, "watermark").toLong,
+        field(it, "digest").toLong))
+    val nbuckets = fieldOpt(json, "nbuckets").map(_.toInt)
+      .getOrElse(buckets.map(_.bucket).maxOption.getOrElse(0) + 1)
     Snapshot(
       field(json, "id").toLong, field(json, "parent").toLong,
       field(json, "entity_col"), field(json, "time_col"),
-      field(json, "nbuckets").toInt, field(json, "batch_id").toLong, cols,
-      items.map(it => BucketManifest(field(it, "bucket").toInt, field(it, "dir"),
-        field(it, "rows").toLong, field(it, "watermark").toLong,
-        field(it, "digest").toLong)))
+      nbuckets, fieldOpt(json, "batch_id").map(_.toLong).getOrElse(-1L),
+      cols, buckets)
   }
 
   // --- pointer --------------------------------------------------------------
@@ -163,7 +181,8 @@ object SnapshotTable {
     parent.foreach { p =>
       require(p.nbuckets == buckets,
         s"bucket count $buckets != table's ${p.nbuckets} at $root")
-      require(p.columns == df0.columns.sorted.toSeq,
+      // empty = pre-slice-format manifest without a recorded schema: skip
+      require(p.columns.isEmpty || p.columns == df0.columns.sorted.toSeq,
         s"schema ${df0.columns.sorted.toSeq} != table's ${p.columns} at $root")
     }
     if (batchId >= 0 && parent.exists(_.batchId == batchId))
@@ -231,7 +250,7 @@ object SnapshotTable {
           s"bucket count $buckets != table's ${p.nbuckets} at $root")
         require(p.entityCol == entityCol && p.timeCol == timeCol,
           s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")
-        require(p.columns == delta.columns.sorted.toSeq,
+        require(p.columns.isEmpty || p.columns == delta.columns.sorted.toSeq,
           s"delta schema ${delta.columns.sorted.toSeq} != table's ${p.columns}")
         val df = delta.withColumn(BucketCol,
           pmod(xxhash64(col(entityCol)), lit(buckets)).cast("int"))
@@ -355,10 +374,14 @@ object SnapshotTable {
     val (dead, alive) = all.partition(_.id < bound)
     val referenced = alive.flatMap(_.buckets.map(_.dir)).toSet
     // a slice dir is <stage>/pbucket=k; reclaim whole stage dirs only when
-    // NO slice under them is referenced by a surviving snapshot
+    // NO slice under them is referenced by a surviving snapshot. Compare by
+    // path PARENT, not string prefix: stage "s3_1" is a string prefix of
+    // "s3_10/pbucket=0", and prefix matching would retain s3_1 forever
+    // (silent over-retention, never data loss — but still a leak)
+    val referencedStages = referenced.map(r => Paths.get(r).getParent)
     val deadStageDirs = dead.flatMap(_.buckets.map(b => Paths.get(b.dir).getParent))
       .distinct
-      .filterNot(stage => referenced.exists(_.startsWith(stage.toString)))
+      .filterNot(referencedStages.contains)
     deadStageDirs.foreach { stage =>
       if (Files.exists(stage)) {
         val walk = Files.walk(stage)

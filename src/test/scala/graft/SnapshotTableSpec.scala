@@ -277,4 +277,54 @@ class SnapshotTableSpec extends AnyFunSuite {
     val db = digestOf(SnapshotTable.read(spark, rootB).drop(SnapshotTable.BucketCol))
     assert(da == db)
   }
+
+  test("expireSnapshots reclaims stage s_1 even when s_10 is referenced (no prefix aliasing)") {
+    // hand-built metadata: stage dir names where one is a string PREFIX of
+    // another ("s0_1" vs "s0_10") — the round-3 startsWith comparison kept
+    // s0_1 alive forever whenever s0_10 survived
+    val root = tmpRoot("prefix")
+    val deadStage = Paths.get(root, "data", "s0_1")
+    val liveStage = Paths.get(root, "data", "s0_10")
+    for (st <- Seq(deadStage, liveStage)) {
+      Files.createDirectories(st.resolve("pbucket=0"))
+      Files.writeString(st.resolve("pbucket=0").resolve("part-0.parquet"), "x")
+    }
+    def manifest(id: Long, parent: Long, dir: java.nio.file.Path): String =
+      s"""{"id":$id,"parent":$parent,"entity_col":"e","time_col":"t",""" +
+        s""""nbuckets":1,"batch_id":-1,"columns":["e","t"],""" +
+        s""""buckets":[{"bucket":0,"dir":"${dir.resolve("pbucket=0")}","rows":1,""" +
+        s""""watermark":1,"digest":7}]}"""
+    Files.createDirectories(Paths.get(root, "snapshots"))
+    Files.writeString(Paths.get(root, "snapshots", "v0.json"), manifest(0, -1, deadStage))
+    Files.writeString(Paths.get(root, "snapshots", "v1.json"), manifest(1, 0, liveStage))
+    Files.writeString(Paths.get(root, "CURRENT"), "v1\n")
+    val (m, d) = SnapshotTable.expireSnapshots(root, keepFrom = 1L)
+    assert(m == 1 && d == 1, s"m=$m d=$d")
+    assert(!Files.exists(deadStage), "dead stage s0_1 not reclaimed")
+    assert(Files.exists(liveStage.resolve("pbucket=0").resolve("part-0.parquet")),
+      "referenced stage s0_10 must survive")
+  }
+
+  test("pre-slice-format manifests (no nbuckets/batch_id/columns) stay readable") {
+    val root = tmpRoot("legacy")
+    val ev = Corpus.events(spark, Corpus.Params(rows = 200, entities = 8)).drop("bytes")
+    SnapshotTable.commit(ev.filter(col("seq") < 100), root, "entity_id", "event_ms",
+      buckets = 2)
+    // rewrite the manifest as the pre-round-3 format: strip the three fields
+    val mPath = Paths.get(root, "snapshots", "v0.json")
+    val legacy = Files.readString(mPath)
+      .replaceAll("\"nbuckets\":\\d+,", "")
+      .replaceAll("\"batch_id\":-?\\d+,", "")
+      .replaceAll("\"columns\":\\[[^\\]]*\\],", "")
+    assert(!legacy.contains("nbuckets"))
+    Files.writeString(mPath, legacy)
+    // defaults: nbuckets from the bucket ids present, batchId -1, columns
+    // empty (schema check skipped — the pre-upgrade contract)
+    val s = SnapshotTable.snapshot(root, 0L)
+    assert(s.nbuckets == 2 && s.batchId == -1L && s.columns.isEmpty)
+    // appends on top of the legacy manifest still work and fold correctly
+    SnapshotTable.commitDelta(ev.filter(col("seq") >= 100), root,
+      "entity_id", "event_ms", buckets = 2)
+    assert(SnapshotTable.read(spark, root).count() == 200)
+  }
 }
