@@ -490,29 +490,60 @@ object Dedup {
         .where(size(col("__h")) > 0)
         .withColumn("__sz", size(col("__h")).cast("long")))
     val grams = sets.select(col("__id"), col("__sz"), explode(col("__h")).as("__g"))
-    // gram document frequency via a count-over-partition window: the SAME
-    // single shuffle by __g that a groupBy would cost, but the count lands
-    // on the posting rows directly — no second aggregate side, no join
-    // back (one exchange fewer than the groupBy+join formulation)
-    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
-    // per-doc prefix: the |A| − ceil(t·|A|) + 1 globally-rarest grams
+    // gram document frequency via a map-side-combined groupBy: the shuffle
+    // carries (gram, partial count) pairs, not posting rows. Grams with
+    // df = 1 can never produce a candidate pair (they'd only self-join, and
+    // id_a < id_b drops that), so they are pruned HERE — which typically
+    // removes the long singleton tail, lets AQE broadcast the df table
+    // when it fits, and shrinks everything downstream. (The round-3
+    // formulation was a count-over-partition window: one exchange fewer on
+    // paper, but it shuffled EVERY posting row by gram with no partial
+    // aggregation and then re-shuffled every posting row again for the
+    // per-doc ranking window — both over the full posting list.)
+    val dfTab = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2)
+    // df>=2 postings only. The per-doc ranking window below therefore sorts
+    // a small fraction of the posting list; each doc's df-1 grams are
+    // recovered arithmetically: under the global (df asc, hash asc) order
+    // ALL of a doc's df-1 grams sort before its every df>=2 gram, so the
+    // full-order rank of a df>=2 posting is (#df-1 grams in doc) + its
+    // rank among the doc's df>=2 postings = (__sz - __n2) + __rn.
+    val g2 = grams.join(dfTab, Seq("__g"))
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
       .orderBy(col("__df"), col("__g"))
-    val prefix = grams
-      .withColumn("__df", count(lit(1)).over(wGram))
+    val wDocAll = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+    // per-doc prefix: the |A| − ceil(t·|A|) + 1 globally-rarest grams
+    // (identical posting set to ranking ALL grams and then dropping df-1
+    // rows — asserted against the two-window formulation in the spec)
+    val prefix = g2
+      .withColumn("__n2", count(lit(1)).over(wDocAll))
       .withColumn("__rn", row_number().over(wDoc))
-      .where(col("__rn") <= col("__sz") - ceil(lit(minJaccard) * col("__sz")) + 1 &&
+      // full-order position of the posting within its doc (1-based), kept
+      // for the positional filter below
+      .withColumn("__pos", col("__rn") + (col("__sz") - col("__n2")))
+      .where(col("__pos") <= col("__sz") - ceil(lit(minJaccard) * col("__sz")) + 1 &&
         col("__df") <= maxPrefixDf)
-      .select("__g", "__id", "__sz")
-    // candidate pairs: prefix-posting equi-join + the length filter
-    // (J >= t forces t·|A| <= |B| <= |A|/t — prunes size-incompatible pairs
-    // before they cost anything downstream)
-    val cand = prefix.select(col("__g"), col("__id").as("id_a"), col("__sz").as("__sza"))
-      .join(prefix.select(col("__g"), col("__id").as("id_b"), col("__sz").as("__szb")),
+      .select("__g", "__id", "__sz", "__pos")
+    // candidate pairs: prefix-posting equi-join + two exact pruning rules
+    // applied BEFORE the distinct/verification shuffles:
+    //  - length filter: J >= t forces t·|A| <= |B| <= |A|/t;
+    //  - positional filter (PPJoin, Xiao et al. 2008): J >= t forces
+    //    overlap O >= ceil(t/(1+t)·(|A|+|B|)) =: alpha, and a pair whose
+    //    FIRST shared gram sits at positions (pa, pb) has
+    //    O <= 1 + min(|A|-pa, |B|-pb); rows violating the bound are
+    //    dropped. Exact: for a true pair the bound always holds at its
+    //    first shared prefix gram, and candidates are unioned over rows.
+    val alpha = ceil(lit(minJaccard / (1.0 + minJaccard)) *
+      (col("__sza") + col("__szb")))
+    val cand = prefix.select(col("__g"), col("__id").as("id_a"),
+        col("__sz").as("__sza"), col("__pos").as("__pa"))
+      .join(prefix.select(col("__g"), col("__id").as("id_b"),
+        col("__sz").as("__szb"), col("__pos").as("__pb")),
         Seq("__g"))
       .where(col("id_a") < col("id_b") &&
         col("__szb") * lit(minJaccard) <= col("__sza") &&
-        col("__sza") * lit(minJaccard) <= col("__szb"))
+        col("__sza") * lit(minJaccard) <= col("__szb") &&
+        lit(1) + least(col("__sza") - col("__pa"), col("__szb") - col("__pb")) >= alpha)
       .select("id_a", "id_b").distinct()
     // exact verification: fetch both SORTED hash arrays (two hash joins on
     // ids) and merge-intersect in one pass — never re-explodes candidates
