@@ -55,7 +55,17 @@ object Bench {
 
   private val CorpusShufflePartitions = 128
 
-  private def session(cores: Int): SparkSession = {
+  /** `coalesce` (AQE partition coalescing) is ON for the part-1 headline
+    * queries — Spark's production default, and exactly what absorbs the
+    * fixed-128-reducer task overhead on exchange-heavy queries whose
+    * intermediates are small (dd_ngram_jaccard's posting list at sf0.1 is
+    * 260k rows; 128 tasks x ~10 stages was pure scheduling cost, measured
+    * 3.5 s -> 1.5 s) — and OFF for the scaling-pair runs, where both levels
+    * must execute the identical task layout (coalescing would shrink
+    * partitions to the data and give the small level proportionally fewer
+    * scheduling waves than the big one).
+    */
+  private def session(cores: Int, coalesce: Boolean = false): SparkSession = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
@@ -63,10 +73,7 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", CorpusShufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      // identical task layout at every level (coalescing would shrink the
-      // 128 fixed partitions to the data size, giving the small level
-      // proportionally fewer scheduling waves than the big one)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", coalesce.toString)
       // one scan task per corpus file (36 MB each): the default 128 MB
       // bin-packing folds 128 files into ~43 tasks — 2.7 uneven waves at 16
       // cores, a pure stage-tail loss that a real cluster's scan would not
@@ -178,11 +185,21 @@ object Bench {
     pb.redirectErrorStream(false)
     pb.redirectError(ProcessBuilder.Redirect.DISCARD)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val ok = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES) &&
-      proc.exitValue() == 0
-    if (!ok) { proc.destroyForcibly(); return None }
+    // drain stdout on a separate thread: readAllBytes on the calling thread
+    // blocks until the stream CLOSES, which made the 30-minute waitFor bound
+    // unreachable — a hung spark-submit wedged the whole bench run
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try proc.getInputStream.transferTo(outBuf)
+      catch { case _: java.io.IOException => () } // stream closed on destroy
+    }, "bench-submit-drain")
+    drain.setDaemon(true)
+    drain.start()
+    val done = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+    if (!done) { proc.destroyForcibly(); return None }
+    drain.join(10000)
+    if (proc.exitValue() != 0) return None
+    val out = outBuf.toString(java.nio.charset.StandardCharsets.UTF_8)
     val re = """GRAFT_CLUSTER_RESULT \{"sec":([0-9.]+),"rows":(\d+),"digest":(-?\d+),"reps":(\[[^\]]*\])\}""".r
     re.findFirstMatchIn(out).map(m =>
       (m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong, m.group(4)))
@@ -278,17 +295,20 @@ object Bench {
     val smallCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL", "2").toInt
     val bigCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_BIG", "8").toInt
     val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "12000000").toLong
-    // 4 reps per level (2 warmed visits x 2): this microVM's random 30-120 s
+    // 9 reps per level (3 warmed visits x 3): this microVM's random 30-120 s
     // whole-process stalls poison individual reps (observed same-plan reps of
     // 46..164 s at one level); the level MINIMUM needs enough draws to land
-    // in a stall-free window. Stage-timeline profiling (par 15.5/16, inter-
-    // stage gaps 1.4 s) shows the clean job itself is parallel-efficient.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
+    // in a stall-free window, and the round-3 margin (0.849 vs the 0.8 gate)
+    // showed 6 draws can still leave a stall inside the minimum at the small
+    // level, where one stall costs ~20% of a rep. Stage-timeline profiling
+    // (par 15.5/16, inter-stage gaps 1.4 s) shows the clean job itself is
+    // parallel-efficient; the med3 co-estimator below quantifies the spread.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "9").toInt
 
     // --- part 1: headline testdata queries at full parallelism -------------
     val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq).getOrElse(HeadlineQueries)
-    val spark = session(maxCores)
+    val spark = session(maxCores, coalesce = true)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
@@ -334,7 +354,7 @@ object Bench {
     var digSmall = 0L
     val repsBig = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repsSmall = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val visits = sys.env.getOrElse("SPARK_GRAFT_BENCH_VISITS", "2").toInt
+    val visits = sys.env.getOrElse("SPARK_GRAFT_BENCH_VISITS", "3").toInt
     val inner = math.max(1, (reps + visits - 1) / visits)
     for (r <- 0 until visits) {
       val (tbs, n, db) = level(bigCores, corpusPath, corpusRows, inner)
@@ -370,6 +390,19 @@ object Bench {
     val thrSmall = rowsOut / tSmall
     val thrMax = rowsOut / tMax
     val efficiency = (tSmall / tBig) / (bigCores.toDouble / smallCores)
+    // stall-robust co-estimator: median of the 3 smallest draws per level.
+    // The min is the best clean-window estimate but a single optimistic
+    // draw; med3 moves only if at least 2 of the 3 best draws move, so a
+    // min/med3 gap at one level flags residual stall contamination there.
+    def med3(xs: Seq[Double]): Double = xs.sorted.take(3) match {
+      case s if s.size >= 3 => s(1)
+      case s => s.last
+    }
+    val med3Small = med3(repsSmall.toSeq)
+    val med3Big = med3(repsBig.toSeq)
+    val efficiencyMed3 = (med3Small / med3Big) / (bigCores.toDouble / smallCores)
+    // draws more than 1.25x the level's min are suspected VM-stall windows
+    def stalls(xs: Seq[Double]): Int = xs.count(_ > xs.min * 1.25)
 
     val qs = results.map { case (k, v) =>
       if (v.isNaN) "\"" + k + "\":\"err\"" else "\"" + k + f"\":$v%.3f"
@@ -388,7 +421,11 @@ object Bench {
         f""""reps_big":${repsBig.map(t => f"$t%.2f").mkString("[", ",", "]")},""" +
         f""""rows_per_sec_small":${thrSmall.toLong},"rows_per_sec_big":${thrBig.toLong},""" +
         f""""cores_max":$maxCores,"sec_max":$tMax%.2f,"rows_per_sec_max":${thrMax.toLong},""" +
-        f""""efficiency":$efficiency%.3f,"digest_match":${digBig == digSmall && digMax == digBig}}"""
+        f""""efficiency":$efficiency%.3f,""" +
+        f""""sec_small_med3":$med3Small%.2f,"sec_big_med3":$med3Big%.2f,""" +
+        f""""efficiency_med3":$efficiencyMed3%.3f,""" +
+        f""""stall_draws_small":${stalls(repsSmall.toSeq)},"stall_draws_big":${stalls(repsBig.toSeq)},""" +
+        f""""digest_match":${digBig == digSmall && digMax == digBig}}"""
     val total = results.map(_._2).filterNot(_.isNaN).sum +
       repsBig.sum + repsSmall.sum + tMax
     val multiJvmJson = multiJvm.map("," + _._1).getOrElse("")
@@ -428,6 +465,17 @@ object Bench {
          |(order-insensitive bit_xor of per-row xxhash64 over every feature
          |column — the parallelism-independence/allclose evidence).
          |
+         |Draw-level stall analysis (this VM has documented random 30-120 s
+         |whole-process stalls; the min is the clean-window estimate): draws
+         |>1.25x their level's min — suspected stall windows — small level
+         |${stalls(repsSmall.toSeq)}/${repsSmall.size}, big level
+         |${stalls(repsBig.toSeq)}/${repsBig.size}. Stall-robust co-estimator
+         |med3 (median of the 3 smallest draws, moves only if 2 of the 3 best
+         |draws move): small ${f"$med3Small%.2f"} s, big ${f"$med3Big%.2f"} s,
+         |efficiency_med3 = ${f"$efficiencyMed3%.3f"}. A min-vs-med3 gap at
+         |one level flags residual stall contamination of that level's best
+         |draws; agreement means the reported efficiency is clean-window.
+         |
          |Why the pair is $smallCores -> $bigCores: the N-vs-4N stand-in must
          |sit inside the region where this box actually delivers 4x hardware
          |for BOTH resources a Spark job consumes.
@@ -457,7 +505,14 @@ object Bench {
          |
          |Headline testdata queries ($sfDir), seconds — each timed with the
          |same hash-agg-over-every-output-column sink as the corpus job
-         |(nothing prunable; warm run + min of 3):
+         |(nothing prunable; warm run + min of 3). Cross-round comparability:
+         |the round-2 per-query column is NOT comparable to round 3+ (r3
+         |switched to this heavier sink — r2->r3 "regressions" on
+         |j8/w_sessionize/f10/a10_spearman/txt_* are the sink newly timing
+         |previously-pruned projections, not slowdowns), and round-3 numbers
+         |are NOT comparable to round 4+ (r4 enabled AQE partition
+         |coalescing for part 1 — Spark's production default; the scaling
+         |pair below still pins the task layout with coalescing OFF):
          |
          |${results.map { case (k, v) => if (v.isNaN) s"| $k | ERR |" else f"| $k | $v%.3f |" }.mkString("| query | sec |\n|---|---|\n", "\n", "")}
          |${if (errors.nonEmpty) errors.map { case (k, m) => s"- ERROR $k: $m" }.mkString("\n", "\n", "\n") else ""}
