@@ -89,6 +89,26 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
 
+    // ---- S2 time travel: read at a historical snapshot after later commits --
+    // base commit (doc_id % 3 = 0) + TWO appended deltas, then read(id = 0)
+    // must reconstruct exactly the base content — pins the time-travel
+    // semantics cross-engine (the reference analog: resuming from a stored
+    // intermediate rds, az_ml_models.R:270-282)
+    "s2_time_travel" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-tt").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(
+        docs.where(col("doc_id") % 3 === 0), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") % 3 === 1), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") % 3 === 2), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.read(s, root, Some(0L))
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    }),
+
     // ---- S4/S5: CSV write + schema'd read roundtrip --------------------------
     "s4_csv_roundtrip" -> ((s, d) => {
       val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
@@ -125,6 +145,8 @@ object QueriesMisc {
       "SELECT doc_id, lang, length(text) AS text_len FROM documents",
     "s2_incremental_read" ->
       "SELECT doc_id, lang, length(text) AS text_len FROM documents WHERE doc_id % 2 = 1",
+    "s2_time_travel" ->
+      "SELECT doc_id, lang, length(text) AS text_len FROM documents WHERE doc_id % 3 = 0",
     "s4_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region"
   )

@@ -87,6 +87,24 @@ object QueriesR3 {
           round(col("precision") + 1e-7, 4).as("precision"),
           round(col("kappa") + 1e-7, 4).as("kappa"))),
 
+    // ---- A12 multi-class: k-level confusion, one-vs-rest stats, kappa ------
+    // 3-class actual (order status F/O/P) vs a 3-class priority-derived
+    // prediction — the caret-confusionMatrix-on-a-3-level-factor analog
+    "a12_confusion_multi" -> ((s, d) =>
+      Stats.confusionMulti(
+        t(s, d, "orders").withColumn("seg", pmod(col("o_custkey"), lit(2)).cast("int")),
+        Seq("seg"),
+        actual = col("o_orderstatus"),
+        predicted = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "F")
+          .when(col("o_orderpriority") === "3-MEDIUM", "P")
+          .otherwise("O"))
+        .select(col("seg"), col("cls"), col("tp"), col("n_actual"),
+          col("n_predicted"),
+          round(col("sensitivity") + 1e-7, 4).as("sensitivity"),
+          round(col("specificity") + 1e-7, 4).as("specificity"),
+          round(col("accuracy") + 1e-7, 4).as("accuracy"),
+          round(col("kappa") + 1e-7, 4).as("kappa"))),
+
     // ---- A9 variant: z-normalized RMSE (train-only scaling of both sides) --
     "a9_zrmse" -> ((s, d) =>
       Stats.zRmse(
@@ -198,6 +216,42 @@ object QueriesR3 {
             round(tn / CAST(tn + fp AS DOUBLE) + 1e-7, 4) AS specificity,
             round(tp / CAST(tp + fp AS DOUBLE) + 1e-7, 4) AS precision,
             round((po - pe) / (1.0 - pe) + 1e-7, 4) AS kappa
+          FROM k""",
+    "a12_confusion_multi" ->
+      """WITH b AS (SELECT CAST(o_custkey % 2 AS INTEGER) AS seg,
+            o_orderstatus AS a,
+            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'F'
+                 WHEN o_orderpriority = '3-MEDIUM' THEN 'P'
+                 ELSE 'O' END AS p
+          FROM orders),
+          cells AS (SELECT seg, a, p, count(*) AS n FROM b GROUP BY 1, 2, 3),
+          acts AS (SELECT seg, a AS cls, sum(n) AS n_actual FROM cells GROUP BY 1, 2),
+          prds AS (SELECT seg, p AS cls, sum(n) AS n_predicted FROM cells GROUP BY 1, 2),
+          tps AS (SELECT seg, a AS cls, n AS tp FROM cells WHERE a = p),
+          tots AS (SELECT seg, sum(n) AS ntot,
+              sum(CASE WHEN a = p THEN n ELSE 0 END) AS diag
+            FROM cells GROUP BY 1),
+          j AS (SELECT COALESCE(acts.seg, prds.seg) AS seg,
+              COALESCE(acts.cls, prds.cls) AS cls,
+              COALESCE(n_actual, 0) AS n_actual,
+              COALESCE(n_predicted, 0) AS n_predicted
+            FROM acts FULL OUTER JOIN prds
+              ON acts.seg = prds.seg AND acts.cls = prds.cls),
+          k AS (SELECT j.seg, j.cls, j.n_actual, j.n_predicted,
+              COALESCE(tps.tp, 0) AS tp, tots.ntot, tots.diag,
+              sum(CAST(j.n_actual AS DOUBLE) * j.n_predicted)
+                OVER (PARTITION BY j.seg)
+                / (CAST(tots.ntot AS DOUBLE) * tots.ntot) AS pe
+            FROM j LEFT JOIN tps ON j.seg = tps.seg AND j.cls = tps.cls
+              JOIN tots ON j.seg = tots.seg)
+          SELECT seg, cls, tp, n_actual, n_predicted,
+            round(CASE WHEN n_actual > 0
+              THEN tp / CAST(n_actual AS DOUBLE) END + 1e-7, 4) AS sensitivity,
+            round(CASE WHEN ntot > n_actual
+              THEN (ntot - n_actual - n_predicted + tp)
+                / CAST(ntot - n_actual AS DOUBLE) END + 1e-7, 4) AS specificity,
+            round(diag / CAST(ntot AS DOUBLE) + 1e-7, 4) AS accuracy,
+            round((diag / CAST(ntot AS DOUBLE) - pe) / (1.0 - pe) + 1e-7, 4) AS kappa
           FROM k""",
     "a9_zrmse" ->
       """WITH t AS (SELECT l_returnflag,

@@ -41,6 +41,17 @@ object FeaturePipeline {
   /** Closure-captured dim-table entry (allocation-free probe in the UDF). */
   final case class DimEntry(rank: Int, score: Double)
 
+  /** Rail for the driver-side dim collect in [[scalarFeatures]]: ~1M
+    * (topic, token, rank, score) rows ≈ low hundreds of MB on the driver —
+    * far above any real dimension feature table (the reference's rank
+    * tables are ~1k rows/topic) and far below driver OOM. Overridable per
+    * process (system property first so tests can exercise the rail) for
+    * deliberate outliers.
+    */
+  def maxDimRows: Int = sys.props.get("graft.maxDimRows")
+    .orElse(sys.env.get("SPARK_GRAFT_MAX_DIM_ROWS"))
+    .map(_.toInt).getOrElse(1000000)
+
   /** Tiny per-entity metadata table: entity → topic assignment (broadcast). */
   def entityDim(spark: SparkSession, entities: Int, topics: Int = 5): DataFrame = {
     import spark.implicits._
@@ -57,9 +68,21 @@ object FeaturePipeline {
 
     // --- the small dimension feature table rides inside the UDF closure ----
     // (driver-side collect of a SMALL dim only; never of fact data).
-    // Two-level java.util.HashMap: the topic probe is hoisted out of the
-    // token loop and token probes are O(1) with no per-probe key concat.
-    val dimRows = dim.select("topic", "token", "rank", "score").collect()
+    // Hard size rail, checked BEFORE the collect materializes on the driver
+    // (limit bound+1 caps what ever crosses the wire): an oversized "dim"
+    // is fact data mis-routed here, and must fail fast with a clear message
+    // instead of OOMing the driver — same contract as Stats.kendall's
+    // per-group rail.
+    val bound = maxDimRows
+    val dimRows = dim.select("topic", "token", "rank", "score")
+      .limit(bound + 1).collect()
+    if (dimRows.length > bound)
+      throw new IllegalStateException(
+        s"FeaturePipeline: dim table exceeds maxDimRows=$bound rows. " +
+          "The dimension feature table is broadcast into a driver-side UDF " +
+          "closure by design (SURVEY §2.12); a table this size is fact-" +
+          "scale, not a dimension — pre-aggregate it, or join it as a " +
+          "regular (broadcast) DataFrame instead.")
     val byTopic = new java.util.HashMap[String, java.util.HashMap[String, DimEntry]]()
     dimRows.foreach { r =>
       byTopic.computeIfAbsent(r.getString(0), _ => new java.util.HashMap[String, DimEntry]())

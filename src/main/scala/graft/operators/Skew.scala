@@ -47,12 +47,31 @@ object Skew {
       .groupBy(col(key))
       .agg(fin.head, fin.tail: _*)
 
-  /** Hot-key detection: keys whose frequency exceeds `factor`× the mean —
-    * a driver-side sample-based helper for choosing what to salt.
+  /** Hot-key detection: keys whose SAMPLED frequency exceeds `factor`× the
+    * mean sampled-key frequency — a diagnostic for choosing what to salt,
+    * so it must not itself cost a full shuffle of the fact table at 100 TB.
+    * A row-level Bernoulli sample (`fraction`, seeded) feeds the count;
+    * a genuinely hot key (the only kind worth salting) keeps ~fraction of
+    * its mass and still towers over the sampled mean, while `minSample`
+    * floors the noise: keys with fewer than that many sampled rows are
+    * never reported (a 3-row sample count is not evidence of heat).
+    * Returns (key, n_est) with n_est ≈ the full-table count (sample count
+    * scaled by 1/fraction).
+    *
+    * Determinism: the seeded sample is reproducible for a fixed partition
+    * layout (Spark seeds per partition); across different layouts the
+    * sampled SET varies but any key hot enough to matter is found in all
+    * of them (asserted in the spec).
     */
-  def hotKeys(df: DataFrame, key: String, factor: Double = 10.0): DataFrame = {
-    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-    val mean = counts.agg(avg(col("n"))).head().getDouble(0)
-    counts.filter(col("n") > mean * factor)
+  def hotKeys(df: DataFrame, key: String, factor: Double = 10.0,
+      fraction: Double = 0.001, seed: Long = 42L,
+      minSample: Long = 8L): DataFrame = {
+    require(fraction > 0 && fraction <= 1.0, s"fraction=$fraction not in (0,1]")
+    val counts = df.sample(withReplacement = false, fraction, seed)
+      .groupBy(col(key)).agg(count(lit(1)).as("__ns"))
+    val mean = counts.agg(avg(col("__ns"))).head().getDouble(0)
+    counts.filter(col("__ns") > mean * factor && col("__ns") >= minSample)
+      .select(col(key),
+        (col("__ns") / fraction).cast("long").as("n_est"))
   }
 }

@@ -540,6 +540,60 @@ object Stats {
       .withColumn("kappa", (po - pe) / (lit(1.0) - pe))
   }
 
+  /** Multi-class confusion statistics per group — caret's `confusionMatrix`
+    * on a k-level factor (the reference's interaction coding carries the
+    * 3-level resistant/intermediate/sensitive factor into it,
+    * `helper/computeInteractionMatrix.R:57,155-162`, consumed at
+    * `crossvalidate.R:94`): one row per (group, class) with the one-vs-rest
+    * sensitivity/specificity ("Statistics by Class") plus the group-level
+    * overall accuracy and multi-class Cohen's kappa
+    * (po = sum_k tp_k / n, pe = sum_k n_actual_k·n_predicted_k / n²,
+    * kappa = (po − pe)/(1 − pe)) repeated on each class row.
+    *
+    * Scale shape: ONE map-side-combinable aggregation over the fact table
+    * (k² cells per group); everything after operates on cell counts —
+    * three tiny re-aggregations, two coalescing joins, and a window over
+    * the ≤k class rows per group. Expected-agreement products run in
+    * double (Long would overflow at n ~ 10^12 × k-class margins).
+    */
+  def confusionMulti(df: DataFrame, group: Seq[String], actual: Column,
+      predicted: Column): DataFrame = {
+    val g = group.map(col)
+    val cells = df.groupBy((g :+ actual.as("__a") :+ predicted.as("__p")): _*)
+      .agg(count(lit(1)).as("__n"))
+    val key = group :+ "cls"
+    val actuals = cells.groupBy((g :+ col("__a").as("cls")): _*)
+      .agg(sum("__n").as("n_actual"))
+    val preds = cells.groupBy((g :+ col("__p").as("cls")): _*)
+      .agg(sum("__n").as("n_predicted"))
+    val tps = cells.where(col("__a") === col("__p"))
+      .select((g :+ col("__a").as("cls") :+ col("__n").as("tp")): _*)
+    val totals = cells.groupBy(g: _*)
+      .agg(sum("__n").as("__ntot"),
+        sum(when(col("__a") === col("__p"), col("__n")).otherwise(lit(0L)))
+          .as("__diag"))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(group.map(col): _*)
+    val n = col("__ntot").cast("double")
+    val po = col("__diag") / n
+    val pe = sum(col("n_actual").cast("double") * col("n_predicted")).over(wG) /
+      (n * n)
+    actuals
+      .join(preds, key, "full_outer")
+      .join(tps, key, "left_outer")
+      .na.fill(0L, Seq("n_actual", "n_predicted", "tp"))
+      .join(totals, group)
+      .withColumn("sensitivity",
+        when(col("n_actual") > 0, col("tp") / col("n_actual").cast("double")))
+      .withColumn("specificity",
+        when(col("__ntot") > col("n_actual"),
+          (col("__ntot") - col("n_actual") - col("n_predicted") + col("tp")) /
+            (col("__ntot") - col("n_actual")).cast("double")))
+      .withColumn("accuracy", po)
+      .withColumn("kappa", (po - pe) / (lit(1.0) - pe))
+      .drop("__ntot", "__diag")
+  }
+
   /** z-normalized error metrics (`az_ml_make_table.R:30-36`): both pred and
     * obs standardized with the TRAIN-only distribution of obs (leakage-safe,
     * same contract as [[zscoreTrainOnly]]), then [[errorMetrics]] over the

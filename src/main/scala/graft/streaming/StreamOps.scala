@@ -68,10 +68,16 @@ object StreamOps {
     * at web scale a hot chunk means near-identical docs that exact dedup
     * should have removed upstream).
     *
-    * A pair whose signatures agree on several chunks emits once per shared
-    * chunk — deduplicate downstream (`.dropDuplicatesWithinWatermark` on
-    * (id_a, id_b) or `.distinct()` on bounded output); hamming is
-    * pair-determined, so duplicates are exact copies.
+    * Each pair emits ONCE, matching batch [[graft.operators.Dedup
+    * .hammingPairs]]' per-pair-once contract without a second stateful
+    * stage: both full signatures are in hand at emission time, so the set
+    * of agreeing chunks is computable locally in every shared bucket, and
+    * only the bucket of the LOWEST agreeing chunk emits. (Corner: if the
+    * per-bucket `maxBucket` cap evicts the older doc from that lowest
+    * bucket specifically, the pair is missed rather than emitted from a
+    * surviving higher bucket — the cap marks a degenerate hot chunk that
+    * upstream exact dedup should have prevented; within-cap behavior is
+    * exact.)
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String,
@@ -94,7 +100,8 @@ object StreamOps {
       .as[NdIn]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[NdIn], state: GroupState[NdBuf]) =>
+        (key: Long, rows: Iterator[NdIn], state: GroupState[NdBuf]) =>
+          val myChunk = (key >>> 16).toInt // key = chunk * 65536 + bits
           val wm = state.getCurrentWatermarkMs()
           var entries = state.getOption.map(_.entries).getOrElse(Nil)
             .filter(_._3 >= wm)
@@ -102,9 +109,17 @@ object StreamOps {
           rows.toSeq.sortBy(r => (r.t_ms, r.id)).foreach { r =>
             entries.foreach { case (oid, osig, _) =>
               if (oid != r.id) {
-                val h = java.lang.Long.bitCount(osig ^ r.sig)
-                if (h <= mh)
-                  out += NdPair(math.min(oid, r.id), math.max(oid, r.id), h)
+                val xor = osig ^ r.sig
+                val h = java.lang.Long.bitCount(xor)
+                // single emission: both sigs are local, so every shared
+                // bucket computes the same lowest agreeing chunk — only
+                // that bucket speaks for the pair
+                if (h <= mh) {
+                  var first = 0
+                  while ((xor >>> (first * 16) & 0xffffL) != 0L) first += 1
+                  if (first == myChunk)
+                    out += NdPair(math.min(oid, r.id), math.max(oid, r.id), h)
+                }
               }
             }
             entries = ((r.id, r.sig, r.t_ms) :: entries).take(cap)

@@ -140,6 +140,28 @@ class GoldenFeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("dim-table rail: an over-bound dim fails fast with a clear message") {
+    val p = Corpus.Params(rows = 200, entities = 4)
+    val ev = Corpus.events(spark, p)
+    val ed = FeaturePipeline.entityDim(spark, p.entities)
+    // a "dim" of 50 rows against a deliberately tiny bound stands in for
+    // fact data mis-routed into the driver-side closure collect
+    val bigDim = spark.range(50)
+      .select(lit("topic0").as("topic"),
+        concat(lit("t"), col("id")).as("token"),
+        col("id").cast("int").as("rank"), lit(1.0).as("score"))
+    System.setProperty("graft.maxDimRows", "10")
+    try {
+      val e = intercept[IllegalStateException] {
+        FeaturePipeline.features(ev, bigDim, ed).count()
+      }
+      assert(e.getMessage.contains("maxDimRows=10"), e.getMessage)
+      assert(e.getMessage.contains("pre-aggregate"), e.getMessage)
+    } finally System.clearProperty("graft.maxDimRows")
+    // under the default bound the same call succeeds
+    assert(FeaturePipeline.features(ev, bigDim, ed).count() > 0)
+  }
+
   test("incremental features from state equal the full recompute on the new slice") {
     import org.apache.spark.sql.functions._
     val p = Corpus.Params(rows = 2400, entities = 10)

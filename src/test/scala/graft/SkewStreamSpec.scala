@@ -37,6 +37,29 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("hotKeys finds the planted hot key from a sample, at two partition layouts") {
+    // ~50k rows, one key carrying ~20% of them; sampling at 2% must find it
+    // (expected ~200 sampled hits vs a mean of ~1) under either layout,
+    // and must NOT report any of the uniform keys
+    val n = 50000
+    val df = spark.range(n.toLong)
+      .select(when(col("id") % 5 === 0, lit("HOT"))
+        .otherwise(concat(lit("k"), (col("id") % 4000).cast("string")))
+        .as("k"))
+    for (parts <- Seq(4, 13)) {
+      val got = Skew.hotKeys(df.repartition(parts), "k",
+          factor = 10.0, fraction = 0.02, seed = 7L)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.keySet == Set("HOT"), s"parts=$parts got=${got.keySet}")
+      // scaled estimate lands within 3x of the true 10k count
+      assert(got("HOT") > 3000 && got("HOT") < 30000, s"est=${got("HOT")}")
+    }
+    // same layout + seed => identical result (deterministic diagnostic)
+    val a = Skew.hotKeys(df.repartition(4), "k", fraction = 0.02, seed = 7L).collect().toSeq
+    val b = Skew.hotKeys(df.repartition(4), "k", fraction = 0.02, seed = 7L).collect().toSeq
+    assert(a == b)
+  }
+
   test("native hamming expression matches bit_count oracle and codegens") {
     // range-based source so Catalyst cannot constant-fold the expression away
     val df = spark.range(500)
@@ -131,8 +154,13 @@ class SkewStreamSpec extends AnyFunSuite {
         spark.readStream.schema(docs.schema).parquet(dir),
         "doc_id", "caption", "ts", watermark = "365 days").toDF(),
       "nd_out")
-    val streamed = spark.table("nd_out").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    // NO distinct: the operator's per-pair-once contract (lowest shared
+    // chunk emits) must hold on the raw output, as in batch hammingPairs
+    val raw = spark.table("nd_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSeq
+    assert(raw.size == raw.distinct.size,
+      s"duplicate emissions: ${raw.groupBy(identity).filter(_._2.size > 1).keys.take(3)}")
+    val streamed = raw.toSet
     assert(streamed == batch,
       s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
   }

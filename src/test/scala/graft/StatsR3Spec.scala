@@ -80,6 +80,47 @@ class StatsR3Spec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-12)
   }
 
+  test("confusionMulti matches caret's by-class stats and multi-class kappa") {
+    // 3x3 matrix: diag (10,7,5), n=30, row sums (12,10,8), col sums (11,12,7)
+    // po = 22/30, pe = (12*11 + 10*12 + 8*7)/900 = 77/225, kappa = 88/148
+    val cells = Seq(("A", "A", 10), ("A", "B", 2), ("B", "A", 1),
+      ("B", "B", 7), ("B", "C", 2), ("C", "B", 3), ("C", "C", 5))
+    val rows = cells.flatMap { case (a, p, k) => Seq.fill(k)((a, p)) }
+    val df = rows.zipWithIndex.map { case ((a, p), i) => ("g", a, p, i) }
+      .toDF("grp", "act", "prd", "i")
+    val r = Stats.confusionMulti(df, Seq("grp"), col("act"), col("prd"))
+      .collect().map(x => x.getAs[String]("cls") -> x).toMap
+    assert(r.keySet == Set("A", "B", "C"))
+    def d(cls: String, c: String): Double = r(cls).getAs[Double](c)
+    assert(r("A").getAs[Long]("tp") == 10 && r("A").getAs[Long]("n_actual") == 12
+      && r("A").getAs[Long]("n_predicted") == 11)
+    assert(math.abs(d("A", "sensitivity") - 10.0 / 12) < 1e-12)
+    assert(math.abs(d("A", "specificity") - 17.0 / 18) < 1e-12)
+    assert(math.abs(d("B", "sensitivity") - 0.7) < 1e-12)
+    assert(math.abs(d("B", "specificity") - 0.75) < 1e-12)
+    assert(math.abs(d("C", "sensitivity") - 5.0 / 8) < 1e-12)
+    assert(math.abs(d("C", "specificity") - 10.0 / 11) < 1e-12)
+    Seq("A", "B", "C").foreach { cls =>
+      assert(math.abs(d(cls, "accuracy") - 22.0 / 30) < 1e-12)
+      assert(math.abs(d(cls, "kappa") - 88.0 / 148) < 1e-12)
+    }
+  }
+
+  test("confusionMulti: predicted-only class joins the roster with null sensitivity") {
+    val rows = Seq(("A", "A"), ("A", "A"), ("A", "D"), ("B", "B"))
+    val df = rows.zipWithIndex.map { case ((a, p), i) => ("g", a, p, i) }
+      .toDF("grp", "act", "prd", "i")
+    val r = Stats.confusionMulti(df, Seq("grp"), col("act"), col("prd"))
+      .collect().map(x => x.getAs[String]("cls") -> x).toMap
+    assert(r.keySet == Set("A", "B", "D"))
+    val dRow = r("D")
+    assert(dRow.getAs[Long]("n_actual") == 0 && dRow.getAs[Long]("n_predicted") == 1
+      && dRow.getAs[Long]("tp") == 0)
+    assert(dRow.isNullAt(dRow.fieldIndex("sensitivity")))
+    // specificity of the never-actual class = TN/(TN+FP) = 3/4
+    assert(math.abs(dRow.getAs[Double]("specificity") - 0.75) < 1e-12)
+  }
+
   test("zRmse equals rmse divided by the train-only sigma of obs") {
     val df = (0 until 1000).map { i =>
       val obs = (i % 97).toDouble
