@@ -205,6 +205,11 @@ object Bench {
       (m.group(1).toDouble, m.group(2).toLong, m.group(3).toLong, m.group(4)))
   }
 
+  /** Parse the draw list out of a submitOnce reps fragment ("[a,b]"). */
+  private def parseReps(json: String): Seq[Double] =
+    json.stripPrefix("[").stripSuffix("]").split(",")
+      .filter(_.nonEmpty).map(_.toDouble).toSeq
+
   /** The MULTI-JVM scaling pair (round-2 verdict item 2): the same job via
     * spark-submit under local-cluster[1,2,3072] (N = 1 executor JVM) vs
     * local-cluster[4,2,3072] (4N = 4 executor JVMs) — real separate
@@ -215,13 +220,20 @@ object Bench {
     */
   private def multiJvmScaling(corpusPath: String, corpusRows: Long,
       threadDigest: Long): Option[(String, String)] = {
+    // 3 visits (was 2): the two levels of a visit run back-to-back, so a
+    // single bad multi-minute VM window can contaminate a whole visit; the
+    // min over visits needs at least one visit outside it (round-4 run saw
+    // exactly this: both of 2 visits inside one window, big level 38 s vs
+    // 30-33 s re-measured minutes later)
     val repsJvm = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_REPS", "2").toInt
-    val visits = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_VISITS", "2").toInt
+    val visits = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_VISITS", "3").toInt
     classesJar().flatMap { jar =>
       var tBig = Double.MaxValue; var tSmall = Double.MaxValue
       var digBig = 0L; var digSmall = 0L; var rowsOut = 0L
       val allBig = scala.collection.mutable.ArrayBuffer.empty[String]
       val allSmall = scala.collection.mutable.ArrayBuffer.empty[String]
+      val drawsBig = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val drawsSmall = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       for (_ <- 0 until visits if !failed) {
         (submitOnce(jar, "local-cluster[4,2,8192]", corpusPath, corpusRows, repsJvm),
@@ -230,6 +242,7 @@ object Bench {
             tBig = math.min(tBig, tb); tSmall = math.min(tSmall, ts)
             digBig = db; digSmall = ds; rowsOut = n
             allBig += rb; allSmall += rs
+            drawsBig ++= parseReps(rb); drawsSmall ++= parseReps(rs)
             System.err.println(f"[bench] multi-jvm visit big=$tb%.2f s small=$ts%.2f s")
           case _ =>
             System.err.println("[bench] multi-jvm submit FAILED — section skipped")
@@ -239,6 +252,15 @@ object Bench {
       if (failed || tBig == Double.MaxValue) None
       else {
         val eff = (tSmall / tBig) / 4.0
+        def med3(xs: Seq[Double]): Double = xs.sorted.take(3) match {
+          case s if s.size >= 3 => s(1)
+          case s => s.last
+        }
+        val m3Small = med3(drawsSmall.toSeq)
+        val m3Big = med3(drawsBig.toSeq)
+        val effMed3 = (m3Small / m3Big) / 4.0
+        val stallsBig = drawsBig.count(_ > drawsBig.min * 1.25)
+        val stallsSmall = drawsSmall.count(_ > drawsSmall.min * 1.25)
         val digestMatch = digBig == digSmall && digBig == threadDigest
         val json =
           f""""scaling_multi_jvm":{"master_small":"local-cluster[1,2,8192]",""" +
@@ -248,7 +270,11 @@ object Bench {
             f""""reps_big":${allBig.mkString("[", ",", "]")},""" +
             f""""rows_per_sec_small":${(rowsOut / tSmall).toLong},""" +
             f""""rows_per_sec_big":${(rowsOut / tBig).toLong},""" +
-            f""""efficiency":$eff%.3f,"digest_match":$digestMatch}"""
+            f""""efficiency":$eff%.3f,""" +
+            f""""sec_small_med3":$m3Small%.2f,"sec_big_med3":$m3Big%.2f,""" +
+            f""""efficiency_med3":$effMed3%.3f,""" +
+            f""""stall_draws_small":$stallsSmall,"stall_draws_big":$stallsBig,""" +
+            f""""digest_match":$digestMatch}"""
         val md =
           f"""|
               |Multi-JVM pair (REAL executor JVMs via spark-submit
@@ -260,7 +286,10 @@ object Bench {
               || local-cluster[1,2,8192] (N) | 1 x 2 | $tSmall%.2f | ${(rowsOut / tSmall).toLong} |
               || local-cluster[4,2,8192] (4N) | 4 x 2 | $tBig%.2f | ${(rowsOut / tBig).toLong} |
               |
-              |Multi-JVM scaling efficiency (speedup / 4) = $eff%.3f; output
+              |Multi-JVM scaling efficiency (speedup / 4) = $eff%.3f
+              |(med3 co-estimator $effMed3%.3f; suspected stall draws
+              |>1.25x level min: small $stallsSmall/${drawsSmall.size},
+              |big $stallsBig/${drawsBig.size}); output
               |digests across both levels and the thread-mode runs
               |${if (digestMatch) "MATCH" else "DIFFER"}. Executors run with
               |6g heaps: at 3g the 4-worker level was GC-bound (34.7 s vs

@@ -169,6 +169,27 @@ class StatsR3Spec extends AnyFunSuite {
     assert(math.abs(r("t")._2 - normal) < 1e-12)
   }
 
+  test("exact cutoff is strict: n = maxExact gets the normal approximation") {
+    // R's wilcox.test switches to the approximation at exactly 50; with the
+    // rail lowered to 4, a tie-free 4v3 group must report method=normal
+    // while 3v3 stays exact
+    val df = Seq(("a", "A", 1.0), ("a", "A", 2.0), ("a", "A", 3.0), ("a", "A", 7.0),
+      ("a", "B", 4.0), ("a", "B", 5.0), ("a", "B", 6.0),
+      ("b", "A", 1.0), ("b", "A", 2.0), ("b", "A", 3.0),
+      ("b", "B", 4.0), ("b", "B", 5.0), ("b", "B", 6.0))
+      .toDF("grp", "cls", "v")
+    val r = Stats.rankSumTestExact(df, Seq("grp"), "cls", "A", "v", maxExact = 4)
+      .collect().map(x => x.getAs[String]("grp") -> x.getAs[String]("method")).toMap
+    assert(r == Map("a" -> "normal", "b" -> "exact"), s"got $r")
+    // paired twin: exactly maxExact nonzero diffs -> normal
+    val p = Seq(("a", 1.0, 2.0), ("a", 5.0, 3.0), ("a", 9.0, 6.0),
+      ("b", 1.0, 2.0), ("b", 5.0, 3.0))
+      .toDF("grp", "x", "y")
+    val rs = Stats.signedRankExact(p, Seq("grp"), "x", "y", maxExact = 3)
+      .collect().map(x => x.getAs[String]("grp") -> x.getAs[String]("method")).toMap
+    assert(rs == Map("a" -> "normal", "b" -> "exact"), s"got $rs")
+  }
+
   test("exactSignedRankP matches textbook signed-rank p-values") {
     // n=3: counts by sum = 1,1,1,2,1,1,1 over total 2^3
     assert(math.abs(Stats.exactSignedRankP(3, 6.0) - 2.0 / 8) < 1e-12)
