@@ -57,6 +57,21 @@ object QueriesExt {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // ---- J9 (r4): explicit salted skew join under the oracle gate ----------
+    // north_star: "skew is handled explicitly via key salting"; the salted
+    // join must be SEMANTICS-PRESERVING, so the DuckDB oracle is simply the
+    // plain join — the whole point of the row. Salt is a pure function of
+    // the fact row (xxhash64 of the unique key), so the result is identical
+    // at any parallelism.
+    "j9_salted_join" -> ((s, d) =>
+      graft.operators.Skew.saltedJoin(
+        t(s, d, "orders"), t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        key = "o_custkey", uniqueCol = "o_orderkey", salts = 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")) + 1e-7, 2).as("sum_price"))),
+
     // ---- SET4: materialized venn counts ---------------------------------------
     "set4_venn_counts" -> ((s, d) => {
       val o = t(s, d, "orders")
@@ -104,6 +119,11 @@ object QueriesExt {
   )
 
   val oracle: Map[String, String] = Map(
+    "j9_salted_join" ->
+      """SELECT c_nationkey, count(*) AS n_orders,
+           round(sum(o_totalprice) + 1e-7, 2) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
     "j4_ranked_dim_join" ->
       """WITH dim AS (SELECT n_nationkey, n_name,
            CAST(row_number() OVER (ORDER BY n_name) AS INTEGER) AS dim_rank

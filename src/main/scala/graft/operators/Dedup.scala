@@ -515,7 +515,13 @@ object Dedup {
     // per-doc prefix: the |A| − ceil(t·|A|) + 1 globally-rarest grams
     // (identical posting set to ranking ALL grams and then dropping df-1
     // rows — asserted against the two-window formulation in the spec)
-    val prefix = g2
+    // the prefix index feeds BOTH sides of the candidate self-join; without
+    // a persist each side re-runs the df join + both window passes (the
+    // planner does not reuse the exchange across the self-join aliases).
+    // Materializing the index once is also the warehouse-scale shape: the
+    // prefix posting list is the small (~(1-t)·corpus grams, df>=2 only)
+    // derivative of the corpus, built once, probed twice.
+    val prefix = Caches.cache(g2
       .withColumn("__n2", count(lit(1)).over(wDocAll))
       .withColumn("__rn", row_number().over(wDoc))
       // full-order position of the posting within its doc (1-based), kept
@@ -523,7 +529,7 @@ object Dedup {
       .withColumn("__pos", col("__rn") + (col("__sz") - col("__n2")))
       .where(col("__pos") <= col("__sz") - ceil(lit(minJaccard) * col("__sz")) + 1 &&
         col("__df") <= maxPrefixDf)
-      .select("__g", "__id", "__sz", "__pos")
+      .select("__g", "__id", "__sz", "__pos"))
     // candidate pairs: prefix-posting equi-join + two exact pruning rules
     // applied BEFORE the distinct/verification shuffles:
     //  - length filter: J >= t forces t·|A| <= |B| <= |A|/t;

@@ -136,6 +136,15 @@ class PlanShapeSpec extends AnyFunSuite {
     val ngPlan = executed(ng)
     assert(!ngPlan.contains("CartesianProduct"),
       s"ngramJaccard degenerated to a cartesian product:\n$ngPlan")
+    // r4 shape: the prefix index is MATERIALIZED once (Caches.cache) and
+    // probed by both sides of the candidate self-join, so the df join and
+    // both window passes run exactly once, inside the cached index build —
+    // the join plan reads InMemoryTableScans (the cache print may still
+    // SHOW the window lineage under InMemoryRelation; what matters is that
+    // both probe sides and the verify joins are cache scans, not
+    // recomputations)
+    assert(countOcc(ngPlan, "InMemoryTableScan") >= 3,
+      s"self-join sides + verify joins should probe cached indexes:\n$ngPlan")
     graft.operators.Caches.releaseAll()
 
     // signatures with BOTH a hot bucket (300 identical sigs > maxBucket —
