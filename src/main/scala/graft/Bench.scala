@@ -210,6 +210,23 @@ object Bench {
     json.stripPrefix("[").stripSuffix("]").split(",")
       .filter(_.nonEmpty).map(_.toDouble).toSeq
 
+  /** Stall-robust co-estimator: median of a level's 3 smallest draws. The
+    * min is the best clean-window estimate but a single optimistic draw;
+    * med3 moves only if at least 2 of the 3 best draws move, so a min/med3
+    * gap at one level flags residual stall contamination there. ONE
+    * definition shared by the thread-mode and multi-JVM sections so the
+    * two `med3` fields in BENCH.json can never drift apart.
+    */
+  private def med3(xs: Seq[Double]): Double = xs.sorted.take(3) match {
+    case s if s.size >= 3 => s(1)
+    case s => s.last
+  }
+
+  /** Draws more than 1.25x their level's min — suspected VM-stall windows
+    * (this box has documented random 30-120 s whole-process stalls).
+    */
+  private def stallCount(xs: Seq[Double]): Int = xs.count(_ > xs.min * 1.25)
+
   /** The MULTI-JVM scaling pair (round-2 verdict item 2): the same job via
     * spark-submit under local-cluster[1,2,3072] (N = 1 executor JVM) vs
     * local-cluster[4,2,3072] (4N = 4 executor JVMs) — real separate
@@ -219,8 +236,8 @@ object Bench {
     * Returns (jsonFragment, mdLines).
     */
   private def multiJvmScaling(corpusPath: String, corpusRows: Long,
-      threadDigest: Long, threadSmallMin: Double,
-      threadBigMin: Double): Option[(String, String)] = {
+      threadDigest: Long,
+      threadTwinMins: Option[(Double, Double)]): Option[(String, String)] = {
     // 3 visits (was 2): the two levels of a visit run back-to-back, so a
     // single bad multi-minute VM window can contaminate a whole visit; the
     // min over visits needs at least one visit outside it (round-4 run saw
@@ -260,23 +277,25 @@ object Bench {
         }
       }
       for (_ <- 0 until visits if !failed) oneVisit("visit")
-      while (!failed && extraUsed < maxExtra &&
-        (tBig > threadBigMin * 1.25 || tSmall > threadSmallMin * 1.25)) {
+      // threadTwinMins is None when the thread pair ran at non-default
+      // core counts (env override): the 1.25x-twin heuristic is only
+      // meaningful when the thread levels used the SAME core counts as
+      // the fixed local-cluster levels (2 and 8)
+      def stalled: Boolean = threadTwinMins.exists { case (tsMin, tbMin) =>
+        tBig > tbMin * 1.25 || tSmall > tsMin * 1.25
+      }
+      while (!failed && extraUsed < maxExtra && stalled) {
         extraUsed += 1
         oneVisit(s"stall-recovery visit $extraUsed")
       }
       if (failed || tBig == Double.MaxValue) None
       else {
         val eff = (tSmall / tBig) / 4.0
-        def med3(xs: Seq[Double]): Double = xs.sorted.take(3) match {
-          case s if s.size >= 3 => s(1)
-          case s => s.last
-        }
         val m3Small = med3(drawsSmall.toSeq)
         val m3Big = med3(drawsBig.toSeq)
         val effMed3 = (m3Small / m3Big) / 4.0
-        val stallsBig = drawsBig.count(_ > drawsBig.min * 1.25)
-        val stallsSmall = drawsSmall.count(_ > drawsSmall.min * 1.25)
+        val stallsBig = stallCount(drawsBig.toSeq)
+        val stallsSmall = stallCount(drawsSmall.toSeq)
         val digestMatch = digBig == digSmall && digBig == threadDigest
         val json =
           f""""scaling_multi_jvm":{"master_small":"local-cluster[1,2,8192]",""" +
@@ -431,26 +450,19 @@ object Bench {
     // --- part 3: multi-JVM pair via spark-submit local-cluster -------------
     val multiJvm =
       if (sys.env.getOrElse("SPARK_GRAFT_MULTIJVM", "1") == "1")
-        multiJvmScaling(corpusPath, corpusRows, digBig, tSmall, tBig)
+        multiJvmScaling(corpusPath, corpusRows, digBig,
+          // twin mins for stall recovery only when the thread pair ran at
+          // the local-cluster levels' core counts (2 and 8 — the default)
+          if (smallCores == 2 && bigCores == 8) Some((tSmall, tBig)) else None)
       else None
 
     val thrBig = rowsOut / tBig
     val thrSmall = rowsOut / tSmall
     val thrMax = rowsOut / tMax
     val efficiency = (tSmall / tBig) / (bigCores.toDouble / smallCores)
-    // stall-robust co-estimator: median of the 3 smallest draws per level.
-    // The min is the best clean-window estimate but a single optimistic
-    // draw; med3 moves only if at least 2 of the 3 best draws move, so a
-    // min/med3 gap at one level flags residual stall contamination there.
-    def med3(xs: Seq[Double]): Double = xs.sorted.take(3) match {
-      case s if s.size >= 3 => s(1)
-      case s => s.last
-    }
     val med3Small = med3(repsSmall.toSeq)
     val med3Big = med3(repsBig.toSeq)
     val efficiencyMed3 = (med3Small / med3Big) / (bigCores.toDouble / smallCores)
-    // draws more than 1.25x the level's min are suspected VM-stall windows
-    def stalls(xs: Seq[Double]): Int = xs.count(_ > xs.min * 1.25)
 
     val qs = results.map { case (k, v) =>
       if (v.isNaN) "\"" + k + "\":\"err\"" else "\"" + k + f"\":$v%.3f"
@@ -472,7 +484,7 @@ object Bench {
         f""""efficiency":$efficiency%.3f,""" +
         f""""sec_small_med3":$med3Small%.2f,"sec_big_med3":$med3Big%.2f,""" +
         f""""efficiency_med3":$efficiencyMed3%.3f,""" +
-        f""""stall_draws_small":${stalls(repsSmall.toSeq)},"stall_draws_big":${stalls(repsBig.toSeq)},""" +
+        f""""stall_draws_small":${stallCount(repsSmall.toSeq)},"stall_draws_big":${stallCount(repsBig.toSeq)},""" +
         f""""digest_match":${digBig == digSmall && digMax == digBig}}"""
     val total = results.map(_._2).filterNot(_.isNaN).sum +
       repsBig.sum + repsSmall.sum + tMax
@@ -516,8 +528,8 @@ object Bench {
          |Draw-level stall analysis (this VM has documented random 30-120 s
          |whole-process stalls; the min is the clean-window estimate): draws
          |>1.25x their level's min — suspected stall windows — small level
-         |${stalls(repsSmall.toSeq)}/${repsSmall.size}, big level
-         |${stalls(repsBig.toSeq)}/${repsBig.size}. Stall-robust co-estimator
+         |${stallCount(repsSmall.toSeq)}/${repsSmall.size}, big level
+         |${stallCount(repsBig.toSeq)}/${repsBig.size}. Stall-robust co-estimator
          |med3 (median of the 3 smallest draws, moves only if 2 of the 3 best
          |draws move): small ${f"$med3Small%.2f"} s, big ${f"$med3Big%.2f"} s,
          |efficiency_med3 = ${f"$efficiencyMed3%.3f"}. A min-vs-med3 gap at

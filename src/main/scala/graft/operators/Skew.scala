@@ -69,9 +69,18 @@ object Skew {
     require(fraction > 0 && fraction <= 1.0, s"fraction=$fraction not in (0,1]")
     val counts = df.sample(withReplacement = false, fraction, seed)
       .groupBy(col(key)).agg(count(lit(1)).as("__ns"))
-    val mean = counts.agg(avg(col("__ns"))).head().getDouble(0)
-    counts.filter(col("__ns") > mean * factor && col("__ns") >= minSample)
-      .select(col(key),
-        (col("__ns") / fraction).cast("long").as("n_est"))
+    // an empty sample (routine for small tables at the default fraction)
+    // means "no evidence of heat", not an error: avg over zero rows is
+    // null, so guard before the mean comparison
+    val meanRow = counts.agg(avg(col("__ns"))).head()
+    val result = counts.select(col(key),
+      (col("__ns") / fraction).cast("long").as("n_est"))
+    if (meanRow.isNullAt(0)) result.limit(0)
+    else {
+      val mean = meanRow.getDouble(0)
+      counts.filter(col("__ns") > mean * factor && col("__ns") >= minSample)
+        .select(col(key),
+          (col("__ns") / fraction).cast("long").as("n_est"))
+    }
   }
 }

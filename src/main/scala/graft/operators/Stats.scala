@@ -333,9 +333,13 @@ object Stats {
       .groupBy(group.map(col): _*)
       .agg(sum(col("__t").cast("double") * col("__t") * col("__t") - col("__t"))
         .as("__tie"))
-    val n = col("n1") + col("n2")
-    val mu = col("n1") * col("n2") / 2.0
-    val sigma = sqrt(col("n1") * col("n2") / 12.0 *
+    // n1/n2 in double before the products for the same Long-wrap safety
+    // as the tie cube (n1*n2 and n*(n-1) wrap at ~3e9-row groups)
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val n = n1d + n2d
+    val mu = n1d * n2d / 2.0
+    val sigma = sqrt(n1d * n2d / 12.0 *
       ((n + 1) - col("__tie") / (n * (n - 1))))
     val diff = col("u_stat") - mu
     val z = (diff - signum(diff) * 0.5) / sigma
@@ -503,7 +507,10 @@ object Stats {
         // double before squaring — same Long-wrap hazard as rankSumTest's
         // cube for fact-scale tie runs; matches the oracle's CAST
         sum(col("__tc").cast("double") * col("__tc") - 1).as("__tie"))
-    val nr = col("n_nonzero")
+    // n in double BEFORE the cubic: nr*(nr+1)*(2nr+1) wraps Long at
+    // nr ~ 1.67M nonzero diffs — earlier than the tie term's ~2.09M —
+    // and a wrapped negative under sqrt yields silent NaN z/p (ANSI off)
+    val nr = col("n_nonzero").cast("double")
     val mu = nr * (nr + 1) / 4.0
     val sigma = sqrt(nr * (nr + 1) * (nr * 2 + 1) / 24.0 - col("__tie") / 48.0)
     val diff = col("w_stat") - mu

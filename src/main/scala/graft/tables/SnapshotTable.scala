@@ -83,9 +83,12 @@ object SnapshotTable {
 
   /** Parse a manifest. `nbuckets`/`batch_id`/`columns` arrived with the
     * round-3 slice format; manifests written by the earlier format stay
-    * readable with semantics-preserving defaults: nbuckets from the highest
-    * bucket id present, batchId = -1 ("not a streaming commit"), columns
-    * empty (= skip the schema check on append — the pre-upgrade contract).
+    * readable with semantics-preserving defaults: nbuckets = -1 ("unknown"
+    * — manifests list only NON-EMPTY buckets, so the highest bucket id
+    * present can under-count; the next append's caller-supplied count is
+    * authoritative, exactly the pre-upgrade contract), batchId = -1 ("not
+    * a streaming commit"), columns empty (= skip the schema check on
+    * append).
     */
   private def fromJson(json: String): Snapshot = {
     val cols = json.indexOf("\"columns\":") match {
@@ -102,8 +105,7 @@ object SnapshotTable {
       BucketManifest(field(it, "bucket").toInt, field(it, "dir"),
         field(it, "rows").toLong, field(it, "watermark").toLong,
         field(it, "digest").toLong))
-    val nbuckets = fieldOpt(json, "nbuckets").map(_.toInt)
-      .getOrElse(buckets.map(_.bucket).maxOption.getOrElse(0) + 1)
+    val nbuckets = fieldOpt(json, "nbuckets").map(_.toInt).getOrElse(-1)
     Snapshot(
       field(json, "id").toLong, field(json, "parent").toLong,
       field(json, "entity_col"), field(json, "time_col"),
@@ -179,7 +181,9 @@ object SnapshotTable {
       buckets: Int = 16, batchId: Long = -1L): Long = {
     val parent = currentSnapshot(root)
     parent.foreach { p =>
-      require(p.nbuckets == buckets,
+      // nbuckets < 0 = pre-slice-format manifest with no recorded count:
+      // accept the caller's, which the new manifest then records
+      require(p.nbuckets < 0 || p.nbuckets == buckets,
         s"bucket count $buckets != table's ${p.nbuckets} at $root")
       // empty = pre-slice-format manifest without a recorded schema: skip
       require(p.columns.isEmpty || p.columns == df0.columns.sorted.toSeq,
@@ -246,7 +250,7 @@ object SnapshotTable {
       case None => commit(delta, root, entityCol, timeCol, buckets, batchId)
       case Some(p) =>
         if (batchId >= 0 && p.batchId == batchId) return p.id
-        require(p.nbuckets == buckets,
+        require(p.nbuckets < 0 || p.nbuckets == buckets,
           s"bucket count $buckets != table's ${p.nbuckets} at $root")
         require(p.entityCol == entityCol && p.timeCol == timeCol,
           s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")

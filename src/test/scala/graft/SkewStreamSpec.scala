@@ -60,6 +60,17 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hotKeys on a table too small for the sample fraction returns empty, not an error") {
+    // a few hundred rows at the default fraction=0.001 routinely samples
+    // ZERO rows — "no evidence of heat" must be an empty result
+    val tiny = spark.range(300).select(concat(lit("k"), col("id")).as("k"))
+    val got = Skew.hotKeys(tiny, "k") // defaults: fraction=0.001
+    assert(got.columns.toSeq == Seq("k", "n_est"))
+    assert(got.count() == 0)
+    // literally empty input too
+    assert(Skew.hotKeys(tiny.limit(0), "k").count() == 0)
+  }
+
   test("native hamming expression matches bit_count oracle and codegens") {
     // range-based source so Catalyst cannot constant-fold the expression away
     val df = spark.range(500)

@@ -318,13 +318,23 @@ class SnapshotTableSpec extends AnyFunSuite {
       .replaceAll("\"columns\":\\[[^\\]]*\\],", "")
     assert(!legacy.contains("nbuckets"))
     Files.writeString(mPath, legacy)
-    // defaults: nbuckets from the bucket ids present, batchId -1, columns
+    // defaults: nbuckets -1 = unknown (manifests list only NON-EMPTY
+    // buckets, so inferring from the ids present would under-count — e.g.
+    // a 16-bucket table whose bucket 15 held no rows), batchId -1, columns
     // empty (schema check skipped — the pre-upgrade contract)
     val s = SnapshotTable.snapshot(root, 0L)
-    assert(s.nbuckets == 2 && s.batchId == -1L && s.columns.isEmpty)
-    // appends on top of the legacy manifest still work and fold correctly
+    assert(s.nbuckets == -1 && s.batchId == -1L && s.columns.isEmpty)
+    // appends on top of the legacy manifest still work with the caller's
+    // (original) bucket count — which the new manifest then records — and
+    // fold correctly
     SnapshotTable.commitDelta(ev.filter(col("seq") >= 100), root,
       "entity_id", "event_ms", buckets = 2)
+    assert(SnapshotTable.snapshot(root, 1L).nbuckets == 2)
     assert(SnapshotTable.read(spark, root).count() == 200)
+    // once recorded, a mismatched count is rejected again
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelta(ev.limit(1), root, "entity_id", "event_ms",
+        buckets = 4)
+    }
   }
 }

@@ -63,6 +63,25 @@ class StatsR3Spec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("p_value") - want) < 2e-7)
   }
 
+  test("signedRank sigma survives fact-scale groups (no Long wrap in the cubic)") {
+    // nr*(nr+1)*(2nr+1) exceeds Long.MaxValue from nr ~ 1.67M: computed in
+    // Long it wraps negative (ANSI off) and sqrt yields silent NaN z/p.
+    // 1.7M distinct positive differences, no ties: closed-form check.
+    val nr = 1700000L
+    val df = spark.range(nr)
+      .select(lit("g").as("grp"), (col("id") + 1).cast("double").as("x"),
+        lit(0.0).as("y"))
+    val r = Stats.signedRank(df, Seq("grp"), "x", "y").head()
+    val nrd = nr.toDouble
+    val w = nrd * (nrd + 1) / 2.0
+    val z = (w - nrd * (nrd + 1) / 4.0 - 0.5) /
+      math.sqrt(nrd * (nrd + 1) * (2 * nrd + 1) / 24.0)
+    assert(r.getAs[Long]("n_nonzero") == nr)
+    assert(!r.getAs[Double]("z").isNaN, "sigma wrapped negative -> NaN z")
+    assert(math.abs(r.getAs[Double]("z") - z) / z < 1e-12)
+    assert(r.getAs[Double]("p_value") >= 0.0) // NaN would fail this too
+  }
+
   test("confusionStats derives accuracy/sensitivity/specificity/precision/kappa") {
     // tp=20 fp=10 fn=5 tn=15: po=0.7, pe=(30*25+20*25)/2500=0.5,
     // kappa=(0.7-0.5)/0.5=0.4, sens=0.8, spec=0.6, prec=2/3
