@@ -109,6 +109,29 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
 
+    // ---- S9 lineage: per-snapshot manifest totals as a queryable table ------
+    // 3-snapshot table (base + two deltas), then the lineage DataFrame
+    // aggregated per snapshot must report exactly the (parent chain,
+    // is_current flag, row total, watermark) that an independent engine
+    // computes from the same source subsets — the metadata "work table"
+    // surface under the cross-engine gate. Slice/bucket counts are
+    // engine-local (bucket = pmod(xxhash64(entity))) and excluded.
+    "s9_lineage" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-lin").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(
+        docs.where(col("doc_id") % 3 === 0), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") % 3 === 1), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") % 3 === 2), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.lineage(s, root)
+        .groupBy(col("snapshot_id"), col("parent_id"), col("is_current"))
+        .agg(sum(col("rows")).as("n_rows"), max(col("watermark")).as("watermark"))
+    }),
+
     // ---- S4/S5: CSV write + schema'd read roundtrip --------------------------
     "s4_csv_roundtrip" -> ((s, d) => {
       val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
@@ -147,6 +170,19 @@ object QueriesMisc {
       "SELECT doc_id, lang, length(text) AS text_len FROM documents WHERE doc_id % 2 = 1",
     "s2_time_travel" ->
       "SELECT doc_id, lang, length(text) AS text_len FROM documents WHERE doc_id % 3 = 0",
+    "s9_lineage" ->
+      """SELECT CAST(0 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
+           false AS is_current, count(*) AS n_rows,
+           CAST(max(doc_id) AS BIGINT) AS watermark
+         FROM documents WHERE doc_id % 3 = 0
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), false, count(*),
+           CAST(max(doc_id) AS BIGINT)
+         FROM documents WHERE doc_id % 3 IN (0, 1)
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), CAST(1 AS BIGINT), true, count(*),
+           CAST(max(doc_id) AS BIGINT)
+         FROM documents""",
     "s4_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region"
   )
