@@ -1,7 +1,7 @@
 package graft.features
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 import graft.corpus.Corpus
@@ -160,6 +160,29 @@ object FeaturePipeline {
     scalar
   }
 
+  /** The "local" temporal-window block shared by [[featuresSkewSafe]]
+    * (per (entity, time-bucket) partitions) and [[featuresIncremental]]
+    * (per entity over the new slice): row number, gap to previous event,
+    * previous phash, session-start flag, local session index, in-session
+    * position, running quality sum, last non-null sparse value. ONE
+    * definition of the session/gap algebra, so a future change cannot be
+    * applied to one path and silently diverge the other — exactly the
+    * equivalence GoldenFeatureSpec protects.
+    */
+  private def localWindows(df: DataFrame, w: WindowSpec, gapMs: Long): DataFrame = {
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__lrn", row_number().over(w))
+      .withColumn("__lgap", col("event_ms") - lag(col("event_ms"), 1).over(w))
+      .withColumn("__lphash_prev", lag(col("phash"), 1).over(w))
+      .withColumn("__lnew",
+        when(col("__lgap").isNull || col("__lgap") > gapMs, 1L).otherwise(0L))
+      .withColumn("__lsess", sum(col("__lnew")).over(wRun))
+      .withColumn("__lpos",
+        col("__lrn") - last(when(col("__lnew") === 1L, col("__lrn")), ignoreNulls = true).over(wRun))
+      .withColumn("__lqsum", sum(col("quality")).over(wRun))
+      .withColumn("__lfilled", last(col("sparse_quality"), ignoreNulls = true).over(wRun))
+  }
+
   /** Compute the feature vector table from an event-shaped corpus.
     *
     * @param events  columns: image_id, caption, phash, entity_id, event_ms, seq
@@ -232,7 +255,9 @@ object FeaturePipeline {
     // the scalar-feature pipeline, which would run the UDF block twice)
     val (lo, hi) = bounds.getOrElse {
       val b = events.agg(min(col("event_ms")).as("lo"), max(col("event_ms")).as("hi")).head()
-      (b.getLong(0), b.getLong(1))
+      // empty input aggregates to (null, null) — e.g. an incremental slice
+      // that deduped to zero rows; any bounds work (the output is empty)
+      if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
     }
     val span = math.max(1L, (hi - lo) / timeBuckets + 1L)
     // drop the payload columns BEFORE phase 1: the persist below is a
@@ -246,18 +271,7 @@ object FeaturePipeline {
     // --- phase 1: local windows over (entity, bucket) -----------------------
     val w1 = Window.partitionBy(col("entity_id"), col("__bkt"))
       .orderBy(col("event_ms"), col("seq"))
-    val w1Run = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local0 = withBkt
-      .withColumn("__lrn", row_number().over(w1))
-      .withColumn("__lgap", col("event_ms") - lag(col("event_ms"), 1).over(w1))
-      .withColumn("__lphash_prev", lag(col("phash"), 1).over(w1))
-      .withColumn("__lnew",
-        when(col("__lgap").isNull || col("__lgap") > gapMs, 1L).otherwise(0L))
-      .withColumn("__lsess", sum(col("__lnew")).over(w1Run))
-      .withColumn("__lpos",
-        col("__lrn") - last(when(col("__lnew") === 1L, col("__lrn")), ignoreNulls = true).over(w1Run))
-      .withColumn("__lqsum", sum(col("quality")).over(w1Run))
-      .withColumn("__lfilled", last(col("sparse_quality"), ignoreNulls = true).over(w1Run))
+    val local0 = localWindows(withBkt, w1, gapMs)
     // phase-1 output feeds BOTH the summary and the final merge: either
     // persist it (registered in Caches; callers release via releaseCaches())
     // or let each consumer recompute it (see reusePhase1).
@@ -384,18 +398,7 @@ object FeaturePipeline {
       gapMs: Long = Corpus.SessionGapMs): DataFrame = {
     val scalar = scalarFeatures(newEvents, dim, entDim)
     val w = Window.partitionBy(col("entity_id")).orderBy(col("event_ms"), col("seq"))
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = scalar
-      .withColumn("__lrn", row_number().over(w))
-      .withColumn("__lgap", col("event_ms") - lag(col("event_ms"), 1).over(w))
-      .withColumn("__lphash_prev", lag(col("phash"), 1).over(w))
-      .withColumn("__lnew",
-        when(col("__lgap").isNull || col("__lgap") > gapMs, 1L).otherwise(0L))
-      .withColumn("__lsess", sum(col("__lnew")).over(wRun))
-      .withColumn("__lpos",
-        col("__lrn") - last(when(col("__lnew") === 1L, col("__lrn")), ignoreNulls = true).over(wRun))
-      .withColumn("__lqsum", sum(col("quality")).over(wRun))
-      .withColumn("__lfilled", last(col("sparse_quality"), ignoreNulls = true).over(wRun))
+    val local = localWindows(scalar, w, gapMs)
     local.join(broadcast(state), Seq("entity_id"), "left")
       // boundary repair — identical algebra to featuresSkewSafe's merge,
       // with the state table playing the role of "all earlier buckets".

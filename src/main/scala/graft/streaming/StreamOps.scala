@@ -14,13 +14,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
-  /** Watermarked tumbling-window aggregation over an event stream. */
+  /** Watermarked tumbling-window aggregation over an event stream: count per
+    * (window, key), plus the mean of `valueCol` when one is given (the
+    * corpus event schema has no generic "value" column, so the mean is
+    * opt-in rather than hardcoded).
+    */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-      windowDur: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+      windowDur: String = "1 hour", watermark: String = "2 hours",
+      valueCol: Option[String] = None): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      valueCol.map(v => avg(col(v)).as("mean_v")).toSeq
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
-      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean_v"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Native session windows (gap-based), the streaming twin of
     * Windows.sessionize.
@@ -82,6 +90,12 @@ object StreamOps {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String,
       maxHamming: Int = 3, maxBucket: Int = 256): Dataset[NdPair] = {
+    // the 4x16-bit pigeonhole guarantees recall only for hamming <= 3
+    // (4 differing bits can touch all four chunks and share no bucket);
+    // asking for more would silently return a subset
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: the 4-chunk SimHash blocking is complete " +
+        "only for hamming <= 3; use batch Dedup with more chunks for wider radii")
     val s = docs.sparkSession
     import s.implicits._
     val mh = maxHamming
@@ -237,12 +251,14 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        if (!batch.isEmpty) {
-          SnapshotTable.commitDelta(batch.toDF(), root, entityCol, timeCol,
-            buckets, batchId = bid)
+        // no isEmpty pre-check: that is a full extra pass over every
+        // micro-batch, and commitDelta already returns early on an empty
+        // delta from the same bucketStats scan it needs anyway
+        SnapshotTable.commitDelta(batch.toDF(), root, entityCol, timeCol,
+          buckets, batchId = bid)
+        if (SnapshotTable.currentId(root).isDefined)
           SnapshotTable.compact(batch.sparkSession, root,
             maxSlices = compactAfter): Unit
-        }
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()

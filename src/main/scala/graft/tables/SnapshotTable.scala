@@ -36,6 +36,17 @@ object SnapshotTable {
 
   val BucketCol = "pbucket"
 
+  /** Bucket id of an entity key. xxhash64 is null-TOLERANT (a null input
+    * hashes to the bare seed, landing every null entity in one silently
+    * shared bucket), so nulls are explicitly propagated here — they surface
+    * as a null group in [[bucketStats]], where commit fails fast with a
+    * "filter or recode null entities" message instead of quietly co-locating
+    * them under an arbitrary bucket id.
+    */
+  private def bucketExpr(entityCol: String, buckets: Int) =
+    when(col(entityCol).isNotNull,
+      pmod(xxhash64(col(entityCol)), lit(buckets)).cast("int"))
+
   /** One SLICE of a bucket's data: a directory of parquet files plus its
     * lineage stats. A bucket may have several slices (initial load + each
     * appended delta — Iceberg's manifest-lists-files shape); the bucket's
@@ -60,6 +71,30 @@ object SnapshotTable {
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
 
+  /** Inverse of [[esc]]: strings must ROUND-TRIP through the manifest —
+    * a root path or column name containing `"` or `\` would otherwise be
+    * written escaped but read back truncated at the first escape.
+    */
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `"..."` with escape-aware interior (backslash-pair or any non-quote). */
+  private val JsonStr = "\"(?:[^\"\\\\]|\\\\.)*\""
+
   private def toJson(s: Snapshot): String = {
     val bs = s.buckets.sortBy(b => (b.bucket, b.dir)).map { b =>
       s"""{"bucket":${b.bucket},"dir":"${esc(b.dir)}","rows":${b.rows},""" +
@@ -71,15 +106,18 @@ object SnapshotTable {
       s""""batch_id":${s.batchId},"columns":$cols,"buckets":$bs}"""
   }
 
+  private def stripQuotes(v: String): String =
+    if (v.startsWith("\"")) unesc(v.stripPrefix("\"").stripSuffix("\"")) else v
+
   private def field(json: String, name: String): String = {
-    val m = (s""""$name":("[^"]*"|-?\\d+)""").r.findFirstMatchIn(json)
+    val m = (s""""$name":($JsonStr|-?\\d+)""").r.findFirstMatchIn(json)
       .getOrElse(throw new IllegalStateException(s"missing field $name in manifest"))
-    m.group(1).stripPrefix("\"").stripSuffix("\"")
+    stripQuotes(m.group(1))
   }
 
   private def fieldOpt(json: String, name: String): Option[String] =
-    (s""""$name":("[^"]*"|-?\\d+)""").r.findFirstMatchIn(json)
-      .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+    (s""""$name":($JsonStr|-?\\d+)""").r.findFirstMatchIn(json)
+      .map(m => stripQuotes(m.group(1)))
 
   /** Parse a manifest. `nbuckets`/`batch_id`/`columns` arrived with the
     * round-3 slice format; manifests written by the earlier format stay
@@ -90,17 +128,32 @@ object SnapshotTable {
     * a streaming commit"), columns empty (= skip the schema check on
     * append).
     */
+  /** Substring of the `[...]` array following offset `from`, delimited by
+    * the first `]` NOT inside a string literal (column names and dir paths
+    * may legally contain `]`, `{`, `}`, quotes and backslashes).
+    */
+  private def arrayBody(json: String, from: Int): String = {
+    var i = json.indexOf('[', from) + 1
+    val start = i
+    var inStr = false
+    while (i < json.length && (inStr || json.charAt(i) != ']')) {
+      json.charAt(i) match {
+        case '\\' if inStr => i += 1 // skip the escaped char
+        case '"'           => inStr = !inStr
+        case _             =>
+      }
+      i += 1
+    }
+    json.substring(start, i)
+  }
+
   private def fromJson(json: String): Snapshot = {
     val cols = json.indexOf("\"columns\":") match {
       case -1 => Seq.empty[String]
-      case i =>
-        val colsPart = json.substring(i + 10)
-        "\"([^\"]*)\"".r
-          .findAllMatchIn(colsPart.substring(0, colsPart.indexOf(']')))
-          .map(_.group(1)).toSeq
+      case i  => JsonStr.r.findAllIn(arrayBody(json, i)).map(stripQuotes).toSeq
     }
-    val bucketsPart = json.substring(json.indexOf("\"buckets\":") + 10)
-    val items = "\\{[^{}]*\\}".r.findAllIn(bucketsPart).toSeq
+    val bucketsPart = arrayBody(json, json.indexOf("\"buckets\":"))
+    val items = (s"""\\{(?:$JsonStr|[^{}"])*\\}""").r.findAllIn(bucketsPart).toSeq
     val buckets = items.map(it =>
       BucketManifest(field(it, "bucket").toInt, field(it, "dir"),
         field(it, "rows").toLong, field(it, "watermark").toLong,
@@ -136,16 +189,32 @@ object SnapshotTable {
 
   /** Per-bucket (rows, watermark, digest) aggregate of a frame that already
     * carries [[BucketCol]] — the only data scan a commit performs.
+    *
+    * to_json renders timestamps in the SESSION timezone by default, which
+    * would make the same content digest differently across heterogeneously-
+    * configured drivers and silently defeat the resume-if-unchanged path —
+    * pinned to UTC so digests are a pure function of content.
+    *
+    * A null entity key fails fast (it would land in a null bucket and
+    * corrupt the partition layout); a bucket whose time column is entirely
+    * null gets watermark Long.MinValue ("no completeness claim").
     */
   private def bucketStats(df: DataFrame, dataCols: Seq[String],
       timeCol: String): Map[Int, (Long, Long, Long)] = {
-    val rowHash = xxhash64(to_json(struct(dataCols.sorted.map(col): _*)))
+    val rowHash = xxhash64(to_json(struct(dataCols.sorted.map(col): _*),
+      Map("timeZone" -> "UTC").asJava))
     df.withColumn("__h", rowHash)
       .groupBy(col(BucketCol))
       .agg(count(lit(1)).as("rows"), max(col(timeCol)).cast("long").as("wm"),
         expr("bit_xor(__h)").as("digest"))
       .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          "SnapshotTable: the entity column contains nulls — a null key " +
+            "has no bucket; filter or recode null entities before commit")
+        val wm = if (r.isNullAt(2)) Long.MinValue else r.getLong(2)
+        r.getInt(0) -> ((r.getLong(1), wm, r.getLong(3)))
+      }
       .toMap
   }
 
@@ -188,11 +257,15 @@ object SnapshotTable {
       // empty = pre-slice-format manifest without a recorded schema: skip
       require(p.columns.isEmpty || p.columns == df0.columns.sorted.toSeq,
         s"schema ${df0.columns.sorted.toSeq} != table's ${p.columns} at $root")
+      // a key-column typo must not silently re-bucket the whole table
+      // (same rail commitDelta has always had)
+      require(p.entityCol == entityCol && p.timeCol == timeCol,
+        s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol}) at $root")
     }
     if (batchId >= 0 && parent.exists(_.batchId == batchId))
       return parent.get.id // idempotent replay of an already-committed batch
 
-    val df = df0.withColumn(BucketCol, pmod(xxhash64(col(entityCol)), lit(buckets)).cast("int"))
+    val df = df0.withColumn(BucketCol, bucketExpr(entityCol, buckets))
     val man = bucketStats(df, df0.columns.toSeq, timeCol)
 
     val parentFolded: Map[Int, (Long, Long, Long)] =
@@ -256,8 +329,7 @@ object SnapshotTable {
           s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")
         require(p.columns.isEmpty || p.columns == delta.columns.sorted.toSeq,
           s"delta schema ${delta.columns.sorted.toSeq} != table's ${p.columns}")
-        val df = delta.withColumn(BucketCol,
-          pmod(xxhash64(col(entityCol)), lit(buckets)).cast("int"))
+        val df = delta.withColumn(BucketCol, bucketExpr(entityCol, buckets))
         val man = bucketStats(df, delta.columns.toSeq, timeCol)
         if (man.isEmpty) return p.id // empty delta: nothing to commit
 
@@ -426,10 +498,12 @@ object SnapshotTable {
 
   /** Global watermark of a snapshot = min over buckets of each bucket's
     * FOLDED (max-over-slices) watermark — all buckets complete up to at
-    * least this event time.
+    * least this event time. None when the table has no snapshot OR the
+    * snapshot is empty (a commit of zero rows is legal — e.g. an empty
+    * first micro-batch — and an empty table makes no completeness claim).
     */
   def watermark(root: String, id: Option[Long] = None): Option[Long] = {
     val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
-    snap.map(_.folded.values.map(_._2).min)
+    snap.filter(_.buckets.nonEmpty).map(_.folded.values.map(_._2).min)
   }
 }

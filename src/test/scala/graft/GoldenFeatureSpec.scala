@@ -209,4 +209,18 @@ class GoldenFeatureSpec extends AnyFunSuite {
       assert(r.caption.getBytes("UTF-8").sameElements(want.getBytes("UTF-8")))
     }
   }
+
+  test("featuresSkewSafe on an empty slice returns empty, schema intact") {
+    import org.apache.spark.sql.functions.lit
+    val p = Corpus.Params(rows = 50, entities = 4)
+    val ev = Corpus.events(spark, p)
+    val dim = Corpus.dimFeatures(spark, p.seed)
+    val ed = FeaturePipeline.entityDim(spark, p.entities)
+    val full = FeaturePipeline.featuresSkewSafe(ev, dim, ed)
+    // an incremental pipeline can hand the scale path a slice that deduped
+    // to zero rows — bounds derivation must not NPE on the null aggregate
+    val empty = FeaturePipeline.featuresSkewSafe(ev.filter(lit(false)), dim, ed)
+    assert(empty.isEmpty)
+    assert(empty.columns.sorted.sameElements(full.columns.sorted))
+  }
 }

@@ -254,4 +254,37 @@ class SkewStreamSpec extends AnyFunSuite {
       s"streaming dedup kept ${out.count()} rows, want $nDistinct")
     assert(out.select(countDistinct(col("caption"))).head().getLong(0) == nDistinct)
   }
+
+  test("windowedCounts works on the corpus event schema; mean is opt-in") {
+    // the corpus event schema has no "value" column — counts alone must
+    // analyze; passing a value column adds mean_v
+    val ev = Corpus.events(spark, Corpus.Params(rows = 400, entities = 4))
+    val counts = StreamOps.windowedCounts(ev, "event_time", "entity_id")
+    assert(counts.schema.fieldNames.toSeq == Seq("window", "entity_id", "n"))
+    val withMean = StreamOps.windowedCounts(ev, "event_time", "entity_id",
+      valueCol = Some("w"))
+    assert(withMean.schema.fieldNames.toSeq ==
+      Seq("window", "entity_id", "n", "mean_v"))
+    // run the counts variant end-to-end over a bounded stream
+    val dir = java.nio.file.Files.createTempDirectory("graft-wc").toString
+    ev.select("entity_id", "event_time").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(ev.select("entity_id", "event_time").schema).parquet(dir)
+    StreamOps.runToMemory(
+      StreamOps.windowedCounts(stream, "event_time", "entity_id", "1 hour",
+        watermark = "0 seconds"), "wc_out",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val got = spark.table("wc_out").agg(sum(col("n"))).head().getLong(0)
+    assert(got == 400L)
+  }
+
+  test("nearDupPairs rejects a radius the 4-chunk blocking cannot honor") {
+    val df = spark.range(1).selectExpr("'a' AS id", "'t' AS text",
+      "timestamp_millis(0) AS ts")
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.nearDupPairs(df, "id", "text", "ts", "1 hour", maxHamming = 4)
+    }
+    assert(e.getMessage.contains("hamming"))
+  }
 }

@@ -337,4 +337,51 @@ class SnapshotTableSpec extends AnyFunSuite {
         buckets = 4)
     }
   }
+
+  test("manifest strings with quotes/braces round-trip; special-char roots work") {
+    import spark.implicits._
+    // a quote in the root exercises esc() on write and unesc() on read for
+    // every dir field; the unmatched braces/brackets exercise the
+    // string-aware array scanner in fromJson
+    val root = tmpRoot("esc") + "/we\"ird pa}t]h"
+    val df = Seq((1L, 100L, "a"), (2L, 200L, "b")).toDF("entity_id", "event_ms", "v")
+    SnapshotTable.commit(df, root, "entity_id", "event_ms", buckets = 4)
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    // idempotent re-commit must still SEE matching digests through the codec
+    SnapshotTable.commit(df, root, "entity_id", "event_ms", buckets = 4)
+    val Seq(s0, s1) = Seq(0L, 1L).map(SnapshotTable.snapshot(root, _))
+    assert(s1.buckets.map(b => (b.bucket, b.digest, b.dir)) ==
+      s0.buckets.map(b => (b.bucket, b.digest, b.dir)))
+  }
+
+  test("empty commit: legal, watermark None, no empty.min crash") {
+    import spark.implicits._
+    val root = tmpRoot("empty")
+    val df = Seq((1L, 100L)).toDF("entity_id", "event_ms").filter(lit(false))
+    SnapshotTable.commit(df, root, "entity_id", "event_ms", buckets = 4)
+    assert(SnapshotTable.watermark(root).isEmpty)
+    assert(SnapshotTable.read(spark, root).isEmpty)
+  }
+
+  test("null entity keys fail fast instead of hashing into a shared bucket") {
+    import spark.implicits._
+    val root = tmpRoot("nullkey")
+    val df = Seq((Option(1L), 100L), (Option.empty[Long], 200L))
+      .toDF("entity_id", "event_ms")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(df, root, "entity_id", "event_ms", buckets = 4)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("full commit rejects key-column mismatch against the table's manifest") {
+    import spark.implicits._
+    val root = tmpRoot("keyrail")
+    val df = Seq((1L, 100L, "x")).toDF("entity_id", "event_ms", "v")
+    SnapshotTable.commit(df, root, "entity_id", "event_ms", buckets = 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(df, root, "v", "event_ms", buckets = 2)
+    }
+    assert(e.getMessage.contains("key columns"))
+  }
 }
