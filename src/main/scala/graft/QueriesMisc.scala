@@ -109,6 +109,24 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
 
+    // ---- S2 point lookup: bucket-pruned read of a key list ------------------
+    // commit the documents table, then readEntities over a fixed key list
+    // (including one absent key) — the O(|keys|/nbuckets) lookup path must
+    // return exactly the rows a full-scan predicate returns; the pruning
+    // itself (only the keys' buckets opened) is asserted by scan metrics in
+    // SnapshotTableSpec
+    "s2_point_lookup" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-pt").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(docs, root, "doc_id", "ts")
+      graft.tables.SnapshotTable
+        .readEntities[Long](s, root, Seq(1L, 7L, 42L, 999999999L))
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    }),
+
     // ---- S9 lineage: per-snapshot manifest totals as a queryable table ------
     // 3-snapshot table (base + two deltas), then the lineage DataFrame
     // aggregated per snapshot must report exactly the (parent chain,
@@ -170,6 +188,9 @@ object QueriesMisc {
       "SELECT doc_id, lang, length(text) AS text_len FROM documents WHERE doc_id % 2 = 1",
     "s2_time_travel" ->
       "SELECT doc_id, lang, length(text) AS text_len FROM documents WHERE doc_id % 3 = 0",
+    "s2_point_lookup" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+         WHERE doc_id IN (1, 7, 42, 999999999)""",
     "s9_lineage" ->
       """SELECT CAST(0 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
            false AS is_current, count(*) AS n_rows,

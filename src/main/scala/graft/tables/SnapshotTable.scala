@@ -22,14 +22,24 @@ import org.apache.spark.sql.functions._
   *    against the parent snapshot and rewrites ONLY buckets whose digest
   *    changed (the reference's resume-if-exists checkpoint contract,
   *    `az_ml_models.R:270-282,330-345`, generalized to partitions);
-  *  - atomic visibility: the `CURRENT` pointer file is swapped with an
-  *    atomic rename; a killed writer leaves only unreferenced staging files.
+  *  - atomic visibility: the COMMIT POINT is the atomic creation of
+  *    `snapshots/v<id>.json` (tmp file + hard link, create-if-absent) —
+  *    exactly one writer can claim a given id. The `CURRENT` pointer file
+  *    is a fast-path hint swapped with an atomic rename after the claim;
+  *    [[currentId]] probes forward from it, so a writer that crashed (or
+  *    lost a pointer race) between claim and swap still has its snapshot
+  *    visible. A killed writer leaves only unreferenced staging files.
+  *  - optimistic concurrency: concurrent writers race on the claim;
+  *    losers re-read the new head and retry (appends restage nothing —
+  *    their slices are parent-independent), so no commit is ever silently
+  *    lost (Iceberg's optimistic-concurrency contract on a plain
+  *    filesystem).
   *
   * Layout:
   * {{{
-  *   root/CURRENT                    # "v<id>\n"
+  *   root/CURRENT                    # "v<id>\n" (hint; claim is truth)
   *   root/snapshots/v<id>.json      # manifest (see Manifest)
-  *   root/data/s<id>_<attempt>/pbucket=<k>/ (parquet files)
+  *   root/data/s<id>_<pid>c<n>/pbucket=<k>/ (parquet files)
   * }}}
   */
 object SnapshotTable {
@@ -167,9 +177,22 @@ object SnapshotTable {
   }
 
   // --- pointer --------------------------------------------------------------
+  /** Head snapshot id. The CURRENT pointer is only a hint: a writer that
+    * crashed (or lost a pointer race to a slower concurrent writer) after
+    * claiming `v<id>.json` but before swapping the pointer has still
+    * committed — claims are complete by construction (tmp + link) — so the
+    * true head is found by probing forward from the hint. The next
+    * successful commit's swap heals the pointer.
+    */
   def currentId(root: String): Option[Long] = {
     val p = Paths.get(root, "CURRENT")
-    if (Files.exists(p)) Some(Files.readString(p).trim.stripPrefix("v").toLong) else None
+    val hint =
+      if (Files.exists(p)) Files.readString(p).trim.stripPrefix("v").toLong
+      else -1L
+    var head = hint
+    while (Files.exists(Paths.get(root, "snapshots", s"v${head + 1}.json")))
+      head += 1
+    if (head >= 0) Some(head) else None
   }
 
   def snapshot(root: String, id: Long): Snapshot =
@@ -218,26 +241,52 @@ object SnapshotTable {
       .toMap
   }
 
-  /** Unique staging dir per attempt: a killed previous attempt never
-    * collides and its garbage is unreferenced.
-    */
-  private def newStage(root: String, newId: Long): Path = {
-    var attempt = 0
-    var stage: Path = null
-    do {
-      stage = Paths.get(root, "data", s"s${newId}_$attempt")
-      attempt += 1
-    } while (Files.exists(stage))
-    stage
-  }
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong
 
-  private def writeManifest(root: String, snap: Snapshot): Long = {
+  /** Unique staging dir per attempt — unique by CONSTRUCTION (pid + a
+    * per-JVM counter), not by an exists-probe, so two concurrent writers
+    * computing the same newId can never race into one directory. A killed
+    * previous attempt's dir never collides (Spark's overwrite mode clears
+    * a recycled-pid leftover first) and its garbage is unreferenced.
+    */
+  private def newStage(root: String, newId: Long): Path =
+    Paths.get(root, "data",
+      s"s${newId}_${ProcessHandle.current.pid}c${stageCounter.getAndIncrement()}")
+
+  /** Atomically claim `v<id>.json` — the COMMIT POINT. The manifest is
+    * fully written to a tmp file first, then hard-linked into place
+    * (create-if-absent is atomic on POSIX), so a visible manifest is always
+    * complete and exactly one writer commits a given id. Returns false when
+    * another writer holds the claim. Filesystems without hard links fall
+    * back to an atomic move without replace (best-effort CAS — the JDK
+    * leaves replace-on-existing implementation-specific there).
+    */
+  private def claimManifest(root: String, snap: Snapshot): Boolean = {
     val snapsDir = Paths.get(root, "snapshots")
     Files.createDirectories(snapsDir)
-    Files.writeString(snapsDir.resolve(s"v${snap.id}.json"), toJson(snap))
-    swapPointer(root, snap.id)
-    snap.id
+    val target = snapsDir.resolve(s"v${snap.id}.json")
+    if (Files.exists(target)) return false // fast path: already claimed
+    val tmp = Files.createTempFile(snapsDir, s"v${snap.id}.", ".tmp")
+    try {
+      Files.writeString(tmp, toJson(snap))
+      try { Files.createLink(target, tmp); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException =>
+          try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      }
+    } finally Files.deleteIfExists(tmp): Unit
   }
+
+  /** Claim + pointer swap. None = lost the race; the caller re-reads the
+    * head and retries.
+    */
+  private def publish(root: String, snap: Snapshot): Option[Long] =
+    if (!claimManifest(root, snap)) None
+    else { swapPointer(root, snap.id); Some(snap.id) }
+
+  private val MaxCommitAttempts = 10
 
   /** Commit the FULL content `df` as a new snapshot of the table at `root`
     * (overwrite semantics: the new snapshot's content is exactly `df`).
@@ -248,55 +297,68 @@ object SnapshotTable {
     */
   def commit(df0: DataFrame, root: String, entityCol: String, timeCol: String,
       buckets: Int = 16, batchId: Long = -1L): Long = {
-    val parent = currentSnapshot(root)
-    parent.foreach { p =>
-      // nbuckets < 0 = pre-slice-format manifest with no recorded count:
-      // accept the caller's, which the new manifest then records
-      require(p.nbuckets < 0 || p.nbuckets == buckets,
-        s"bucket count $buckets != table's ${p.nbuckets} at $root")
-      // empty = pre-slice-format manifest without a recorded schema: skip
-      require(p.columns.isEmpty || p.columns == df0.columns.sorted.toSeq,
-        s"schema ${df0.columns.sorted.toSeq} != table's ${p.columns} at $root")
-      // a key-column typo must not silently re-bucket the whole table
-      // (same rail commitDelta has always had)
-      require(p.entityCol == entityCol && p.timeCol == timeCol,
-        s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol}) at $root")
-    }
-    if (batchId >= 0 && parent.exists(_.batchId == batchId))
-      return parent.get.id // idempotent replay of an already-committed batch
-
     val df = df0.withColumn(BucketCol, bucketExpr(entityCol, buckets))
-    val man = bucketStats(df, df0.columns.toSeq, timeCol)
+    // ONE stats scan of df, reused across optimistic retries (the diff and
+    // the changed-bucket write depend on the parent, so those rerun)
+    var man: Map[Int, (Long, Long, Long)] = null
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val parent = currentSnapshot(root)
+      parent.foreach { p =>
+        // nbuckets < 0 = pre-slice-format manifest with no recorded count:
+        // accept the caller's, which the new manifest then records
+        require(p.nbuckets < 0 || p.nbuckets == buckets,
+          s"bucket count $buckets != table's ${p.nbuckets} at $root")
+        // empty = pre-slice-format manifest without a recorded schema: skip
+        require(p.columns.isEmpty || p.columns == df0.columns.sorted.toSeq,
+          s"schema ${df0.columns.sorted.toSeq} != table's ${p.columns} at $root")
+        // a key-column typo must not silently re-bucket the whole table
+        // (same rail commitDelta has always had)
+        require(p.entityCol == entityCol && p.timeCol == timeCol,
+          s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol}) at $root")
+      }
+      if (batchId >= 0 && parent.exists(_.batchId == batchId))
+        return parent.get.id // idempotent replay of an already-committed batch
 
-    val parentFolded: Map[Int, (Long, Long, Long)] =
-      parent.map(_.folded).getOrElse(Map.empty)
-    val parentSlices: Map[Int, Seq[BucketManifest]] =
-      parent.map(_.buckets.groupBy(_.bucket)).getOrElse(Map.empty)
-    val newId = parent.map(_.id + 1).getOrElse(0L)
+      if (man == null) man = bucketStats(df, df0.columns.toSeq, timeCol)
 
-    // a bucket is unchanged only if digest AND row count AND watermark all
-    // match the parent's folded manifest: bit_xor alone cancels pairs, so
-    // adding two identical rows (exact duplicates are central to this
-    // corpus) would otherwise leave the digest unchanged and silently drop
-    // the new rows
-    val changed = man.filter { case (k, fold) =>
-      !parentFolded.get(k).contains(fold)
-    }.keys.toSeq.sorted
+      val parentFolded: Map[Int, (Long, Long, Long)] =
+        parent.map(_.folded).getOrElse(Map.empty)
+      val parentSlices: Map[Int, Seq[BucketManifest]] =
+        parent.map(_.buckets.groupBy(_.bucket)).getOrElse(Map.empty)
+      val newId = parent.map(_.id + 1).getOrElse(0L)
 
-    val stage = newStage(root, newId)
-    if (changed.nonEmpty) {
-      df.filter(col(BucketCol).isin(changed.map(Integer.valueOf): _*))
-        .sortWithinPartitions(col(entityCol), col(timeCol))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+      // a bucket is unchanged only if digest AND row count AND watermark all
+      // match the parent's folded manifest: bit_xor alone cancels pairs, so
+      // adding two identical rows (exact duplicates are central to this
+      // corpus) would otherwise leave the digest unchanged and silently drop
+      // the new rows
+      val changed = man.filter { case (k, fold) =>
+        !parentFolded.get(k).contains(fold)
+      }.keys.toSeq.sorted
+
+      val stage = newStage(root, newId)
+      if (changed.nonEmpty) {
+        df.filter(col(BucketCol).isin(changed.map(Integer.valueOf): _*))
+          .sortWithinPartitions(col(entityCol), col(timeCol))
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+      }
+
+      val newBuckets = man.toSeq.sortBy(_._1).flatMap { case (k, (rows, wm, dg)) =>
+        if (changed.contains(k))
+          Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
+        else parentSlices(k)
+      }
+      publish(root, Snapshot(newId, parent.map(_.id).getOrElse(-1L),
+        entityCol, timeCol, buckets, batchId, df0.columns.sorted.toSeq,
+        newBuckets)) match {
+        case Some(id) => return id
+        case None     => attempt += 1 // lost the claim: re-read head, retry
+      }
     }
-
-    val newBuckets = man.toSeq.sortBy(_._1).flatMap { case (k, (rows, wm, dg)) =>
-      if (changed.contains(k))
-        Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
-      else parentSlices(k)
-    }
-    writeManifest(root, Snapshot(newId, parent.map(_.id).getOrElse(-1L),
-      entityCol, timeCol, buckets, batchId, df0.columns.sorted.toSeq, newBuckets))
+    throw new IllegalStateException(
+      s"commit lost the optimistic claim $MaxCommitAttempts times at $root " +
+        "— a writer is committing faster than this one can retry")
   }
 
   /** APPEND `delta` as a new snapshot costing O(delta): only the delta is
@@ -319,31 +381,60 @@ object SnapshotTable {
     */
   def commitDelta(delta: DataFrame, root: String, entityCol: String,
       timeCol: String, buckets: Int = 16, batchId: Long = -1L): Long = {
-    currentSnapshot(root) match {
-      case None => commit(delta, root, entityCol, timeCol, buckets, batchId)
-      case Some(p) =>
-        if (batchId >= 0 && p.batchId == batchId) return p.id
-        require(p.nbuckets < 0 || p.nbuckets == buckets,
-          s"bucket count $buckets != table's ${p.nbuckets} at $root")
-        require(p.entityCol == entityCol && p.timeCol == timeCol,
-          s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")
-        require(p.columns.isEmpty || p.columns == delta.columns.sorted.toSeq,
-          s"delta schema ${delta.columns.sorted.toSeq} != table's ${p.columns}")
-        val df = delta.withColumn(BucketCol, bucketExpr(entityCol, buckets))
-        val man = bucketStats(df, delta.columns.toSeq, timeCol)
-        if (man.isEmpty) return p.id // empty delta: nothing to commit
-
-        val newId = p.id + 1
-        val stage = newStage(root, newId)
-        df.sortWithinPartitions(col(entityCol), col(timeCol))
-          .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
-
-        val deltaSlices = man.toSeq.sortBy(_._1).map { case (k, (rows, wm, dg)) =>
-          BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
+    val df = delta.withColumn(BucketCol, bucketExpr(entityCol, buckets))
+    // the delta's slices are PARENT-INDEPENDENT: scanned and staged at most
+    // once, then reused verbatim across optimistic retries (only the
+    // manifest's id/parent change when a concurrent writer wins a claim)
+    var man: Map[Int, (Long, Long, Long)] = null
+    var deltaSlices: Seq[BucketManifest] = null
+    def stageOnce(newIdHint: Long): Unit = if (man == null) {
+      man = bucketStats(df, delta.columns.toSeq, timeCol)
+      deltaSlices =
+        if (man.isEmpty) Seq.empty
+        else {
+          val stage = newStage(root, newIdHint)
+          df.sortWithinPartitions(col(entityCol), col(timeCol))
+            .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+          man.toSeq.sortBy(_._1).map { case (k, (rows, wm, dg)) =>
+            BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
+          }
         }
-        writeManifest(root, Snapshot(newId, p.id, entityCol, timeCol, buckets,
-          batchId, p.columns, p.buckets ++ deltaSlices))
     }
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      currentSnapshot(root) match {
+        case None =>
+          // empty table: try to create v0 holding exactly the delta. Losing
+          // this claim means a concurrent writer created the table — the
+          // next iteration takes the APPEND path against it (delegating to
+          // commit here would retry with overwrite semantics and erase the
+          // winner's rows)
+          stageOnce(0L)
+          publish(root, Snapshot(0L, -1L, entityCol, timeCol, buckets,
+            batchId, delta.columns.sorted.toSeq, deltaSlices)) match {
+            case Some(id) => return id
+            case None     => attempt += 1
+          }
+        case Some(p) =>
+          if (batchId >= 0 && p.batchId == batchId) return p.id
+          require(p.nbuckets < 0 || p.nbuckets == buckets,
+            s"bucket count $buckets != table's ${p.nbuckets} at $root")
+          require(p.entityCol == entityCol && p.timeCol == timeCol,
+            s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")
+          require(p.columns.isEmpty || p.columns == delta.columns.sorted.toSeq,
+            s"delta schema ${delta.columns.sorted.toSeq} != table's ${p.columns}")
+          stageOnce(p.id + 1)
+          if (man.isEmpty) return p.id // empty delta: nothing to commit
+          publish(root, Snapshot(p.id + 1, p.id, entityCol, timeCol, buckets,
+            batchId, p.columns, p.buckets ++ deltaSlices)) match {
+            case Some(id) => return id
+            case None     => attempt += 1
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"commitDelta lost the optimistic claim $MaxCommitAttempts times at " +
+        s"$root — a writer is committing faster than this one can retry")
   }
 
   /** Compact buckets that have accumulated more than `maxSlices` slices
@@ -356,34 +447,44 @@ object SnapshotTable {
     * nothing needed compaction.
     */
   def compact(spark: SparkSession, root: String, maxSlices: Int = 8): Long = {
-    val p = currentSnapshot(root)
-      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
-    val bySlices = p.buckets.groupBy(_.bucket)
-    val toCompact = bySlices.filter(_._2.size > maxSlices).keys.toSeq.sorted
-    if (toCompact.isEmpty) return p.id
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val p = currentSnapshot(root)
+        .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+      val bySlices = p.buckets.groupBy(_.bucket)
+      val toCompact = bySlices.filter(_._2.size > maxSlices).keys.toSeq.sorted
+      if (toCompact.isEmpty) return p.id
 
-    val newId = p.id + 1
-    val stage = newStage(root, newId)
-    val folded = p.folded
-    // ONE job for all compacted buckets (not a driver loop of per-bucket
-    // jobs): union per bucket, one shuffle hash-partitioned by bucket, one
-    // sorted file per bucket out of partitionBy
-    readSlices(spark, toCompact.flatMap(k => bySlices(k))).foreach { df =>
-      df.repartition(toCompact.size, col(BucketCol))
-        .sortWithinPartitions(col(BucketCol), col(p.entityCol), col(p.timeCol))
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+      val stage = newStage(root, p.id + 1)
+      val folded = p.folded
+      // ONE job for all compacted buckets (not a driver loop of per-bucket
+      // jobs): union per bucket, one shuffle hash-partitioned by bucket, one
+      // sorted file per bucket out of partitionBy
+      readSlices(spark, toCompact.flatMap(k => bySlices(k))).foreach { df =>
+        df.repartition(toCompact.size, col(BucketCol))
+          .sortWithinPartitions(col(BucketCol), col(p.entityCol), col(p.timeCol))
+          .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+      }
+      val newBuckets = bySlices.toSeq.sortBy(_._1).flatMap { case (k, ss) =>
+        if (toCompact.contains(k)) {
+          val (rows, wm, dg) = folded(k)
+          Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
+        } else ss
+      }
+      // batchId carries over: compaction must not defeat the replay-skip of
+      // the delta commit it follows (a crash between them would otherwise
+      // re-append the batch on restart)
+      publish(root, Snapshot(p.id + 1, p.id, p.entityCol, p.timeCol,
+        p.nbuckets, p.batchId, p.columns, newBuckets)) match {
+        case Some(id) => return id
+        case None     =>
+          // a concurrent append landed between our read and claim: the
+          // slice set changed, so the compaction plan is recomputed whole
+          attempt += 1
+      }
     }
-    val newBuckets = bySlices.toSeq.sortBy(_._1).flatMap { case (k, ss) =>
-      if (toCompact.contains(k)) {
-        val (rows, wm, dg) = folded(k)
-        Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
-      } else ss
-    }
-    // batchId carries over: compaction must not defeat the replay-skip of
-    // the delta commit it follows (a crash between them would otherwise
-    // re-append the batch on restart)
-    writeManifest(root, Snapshot(newId, p.id, p.entityCol, p.timeCol,
-      p.nbuckets, p.batchId, p.columns, newBuckets))
+    throw new IllegalStateException(
+      s"compact lost the optimistic claim $MaxCommitAttempts times at $root")
   }
 
   /** One multi-path scan per BUCKET (not per slice): the union tree is
@@ -406,6 +507,36 @@ object SnapshotTable {
     val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
     readSlices(spark, snap.buckets).getOrElse(spark.emptyDataFrame)
+  }
+
+  /** Point-lookup read: opens ONLY the buckets that can hold `keys` —
+    * O(|keys|/nbuckets) of the table's slices at any table size — then
+    * filters to the exact keys (the filter pushes into the parquet scan,
+    * so row-group stats prune within the touched slices too). At 10^12
+    * rows a single-entity lookup reads 1/nbuckets of the data instead of
+    * scanning the table; the bucket ids come from the same hash expression
+    * commits use, evaluated in a tiny local job over the key list.
+    */
+  def readEntities[T](spark: SparkSession, root: String, keys: Seq[T],
+      id: Option[Long] = None)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
+    require(keys.nonEmpty && !keys.contains(null.asInstanceOf[T]),
+      "readEntities: keys must be a non-empty, null-free list")
+    val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    require(snap.nbuckets > 0,
+      s"bucket count unrecorded at $root (pre-slice-format manifest): " +
+        "one commit records it, or use read() with a filter")
+    val wanted = spark.createDataset(keys).toDF(snap.entityCol)
+      .select(bucketExpr(snap.entityCol, snap.nbuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    readSlices(spark, snap.buckets.filter(b => wanted.contains(b.bucket)))
+      // keys may hash to buckets that never held rows: keep the schema by
+      // falling back to a zero-row slice read
+      .orElse(readSlices(spark, snap.buckets).map(_.limit(0))) match {
+      case Some(df) => df.filter(col(snap.entityCol).isInCollection(keys))
+      case None     => spark.emptyDataFrame // empty table: no schema to give
+    }
   }
 
   /** Read ONLY the rows appended between `fromId` (exclusive) and `toId`

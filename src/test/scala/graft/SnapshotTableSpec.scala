@@ -374,6 +374,101 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("null"))
   }
 
+  test("readEntities: bucket-pruned lookup equals full-scan filter, scans only those buckets") {
+    import spark.implicits._
+    val root = tmpRoot("pt")
+    val ev = Corpus.events(spark, Corpus.Params(rows = 4000, entities = 16)).drop("bytes")
+    SnapshotTable.commit(ev, root, "entity_id", "event_ms", buckets = 16)
+    val keys = ev.select("entity_id").distinct().orderBy("entity_id").limit(2)
+      .collect().map(_.getString(0)).toSeq
+
+    val got = SnapshotTable.readEntities[String](spark, root, keys)
+    val expected = SnapshotTable.read(spark, root)
+      .filter(col("entity_id").isInCollection(keys))
+    assert(digestOf(got.drop(SnapshotTable.BucketCol)) ==
+      digestOf(expected.drop(SnapshotTable.BucketCol)))
+
+    // the scan must touch ONLY the keys' buckets: the manifest itself gives
+    // the exact row bound for those buckets
+    val snap = SnapshotTable.currentSnapshot(root).get
+    val wantedBuckets = got.select(SnapshotTable.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val wantedRows = snap.folded.filter { case (k, _) => wantedBuckets.contains(k) }
+      .values.map(_._1).sum
+    assert(wantedRows < 4000, "fixture degenerate: keys cover every bucket")
+
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.readEntities[String](spark, root, keys).count()
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 50) {
+        last = read.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read.get() > 0, "listener saw no records — tracking broken?")
+    assert(read.get() <= wantedRows + keys.size,
+      s"lookup read ${read.get()} records; the keys' buckets hold only $wantedRows")
+
+    // a key that exists nowhere returns empty with the table's schema
+    val missing = SnapshotTable.readEntities[String](spark, root, Seq("no-such-entity"))
+    assert(missing.isEmpty && missing.columns.contains("entity_id"))
+  }
+
+  test("concurrent appends: every commit survives, one claim per snapshot id") {
+    import spark.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = tmpRoot("conc")
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      // all writers race table CREATION too (no pre-existing v0): exactly
+      // one wins v0, the rest must fall into the append path — a lost
+      // update here would silently drop a writer's rows
+      val ids = Await.result(Future.sequence((0 until n).map { i =>
+        Future {
+          val df = spark.range(i * 100L, i * 100L + 100L)
+            .selectExpr("id AS entity_id", "id AS event_ms", s"'w$i' AS src")
+          SnapshotTable.commitDelta(df, root, "entity_id", "event_ms", buckets = 4)
+        }
+      }), 5.minutes)
+      assert(ids.toSet.size == n, s"duplicate snapshot ids claimed: $ids")
+      assert(ids.toSet == (0L until n.toLong).toSet, s"non-contiguous ids: $ids")
+      val back = SnapshotTable.read(spark, root)
+      assert(back.count() == n * 100L, "rows lost to a commit race")
+      assert(back.select(countDistinct(col("src"))).head().getLong(0) == n.toLong,
+        "an entire writer's delta went missing")
+      assert(SnapshotTable.currentId(root).contains(ids.max))
+    } finally pool.shutdown()
+  }
+
+  test("a lagging CURRENT pointer heals: the claimed head stays visible") {
+    import spark.implicits._
+    val root = tmpRoot("heal")
+    SnapshotTable.commit(Seq((1L, 10L)).toDF("entity_id", "event_ms"),
+      root, "entity_id", "event_ms", buckets = 2)
+    SnapshotTable.commitDelta(Seq((2L, 20L)).toDF("entity_id", "event_ms"),
+      root, "entity_id", "event_ms", buckets = 2)
+    // simulate a writer that claimed v1 but died before the pointer swap
+    // (or lost a pointer race to a slower writer): regress the hint
+    Files.writeString(Paths.get(root, "CURRENT"), "v0\n")
+    assert(SnapshotTable.currentId(root).contains(1L),
+      "claimed manifest must be the head even when the pointer lags")
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    // the next commit builds on the TRUE head and heals the pointer
+    SnapshotTable.commitDelta(Seq((3L, 30L)).toDF("entity_id", "event_ms"),
+      root, "entity_id", "event_ms", buckets = 2)
+    assert(Files.readString(Paths.get(root, "CURRENT")).trim == "v2")
+    assert(SnapshotTable.read(spark, root).count() == 3)
+  }
+
   test("full commit rejects key-column mismatch against the table's manifest") {
     import spark.implicits._
     val root = tmpRoot("keyrail")
