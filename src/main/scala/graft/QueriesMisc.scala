@@ -127,6 +127,27 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
 
+    // ---- S2 additive schema evolution ---------------------------------------
+    // base commit without `source`, evolved append WITH it (Iceberg's
+    // add-column): read-back must show null for pre-evolution rows and the
+    // real value for appended ones — oracle'd by a NULL-padded UNION over
+    // the same predicate split
+    "s2_schema_evolution" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-evo").toString
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("lang"),
+        col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(
+        base.where(col("doc_id") % 2 === 0), root, "doc_id", "ts")
+      val widened = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commitDelta(
+        widened.where(col("doc_id") % 2 === 1), root, "doc_id", "ts",
+        evolveSchema = true)
+      graft.tables.SnapshotTable.read(s, root)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // ---- S9 lineage: per-snapshot manifest totals as a queryable table ------
     // 3-snapshot table (base + two deltas), then the lineage DataFrame
     // aggregated per snapshot must report exactly the (parent chain,
@@ -191,6 +212,10 @@ object QueriesMisc {
     "s2_point_lookup" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
          WHERE doc_id IN (1, 7, 42, 999999999)""",
+    "s2_schema_evolution" ->
+      """SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1""",
     "s9_lineage" ->
       """SELECT CAST(0 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
            false AS is_current, count(*) AS n_rows,

@@ -66,9 +66,22 @@ object SnapshotTable {
     */
   final case class BucketManifest(bucket: Int, dir: String, rows: Long,
       watermark: Long, digest: Long)
+  /** `mixedSchema`: true once any slice was written under an older (pre-
+    * additive-evolution) column set; read paths pay parquet schema-merging
+    * (a footer read per file at planning) ONLY then — the homogeneous
+    * common case keeps single-footer schema inference. A full [[commit]]
+    * resets it (every slice rewritten under one schema).
+    */
   final case class Snapshot(id: Long, parent: Long,
       entityCol: String, timeCol: String, nbuckets: Int, batchId: Long,
-      columns: Seq[String], buckets: Seq[BucketManifest]) {
+      columns: Seq[String], buckets: Seq[BucketManifest],
+      mixedSchema: Boolean = false,
+      /** Typed schema (Spark DDL) — lets a mixed-schema read pad columns a
+        * pre-evolution slice lacks with correctly-TYPED nulls even when no
+        * slice in the scan carries them (a pruned point lookup may touch
+        * only old slices). Empty = legacy manifest, no padding possible.
+        */
+      schemaDdl: String = "") {
     /** Per-bucket folded (rows, watermark, digest) over slices. */
     def folded: Map[Int, (Long, Long, Long)] =
       buckets.groupBy(_.bucket).map { case (k, ss) =>
@@ -113,20 +126,21 @@ object SnapshotTable {
     val cols = s.columns.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     s"""{"id":${s.id},"parent":${s.parent},"entity_col":"${esc(s.entityCol)}",""" +
       s""""time_col":"${esc(s.timeCol)}","nbuckets":${s.nbuckets},""" +
-      s""""batch_id":${s.batchId},"columns":$cols,"buckets":$bs}"""
+      s""""batch_id":${s.batchId},"mixed_schema":${s.mixedSchema},""" +
+      s""""schema_ddl":"${esc(s.schemaDdl)}","columns":$cols,"buckets":$bs}"""
   }
 
   private def stripQuotes(v: String): String =
     if (v.startsWith("\"")) unesc(v.stripPrefix("\"").stripSuffix("\"")) else v
 
   private def field(json: String, name: String): String = {
-    val m = (s""""$name":($JsonStr|-?\\d+)""").r.findFirstMatchIn(json)
+    val m = (s""""$name":($JsonStr|-?\\d+|true|false)""").r.findFirstMatchIn(json)
       .getOrElse(throw new IllegalStateException(s"missing field $name in manifest"))
     stripQuotes(m.group(1))
   }
 
   private def fieldOpt(json: String, name: String): Option[String] =
-    (s""""$name":($JsonStr|-?\\d+)""").r.findFirstMatchIn(json)
+    (s""""$name":($JsonStr|-?\\d+|true|false)""").r.findFirstMatchIn(json)
       .map(m => stripQuotes(m.group(1)))
 
   /** Parse a manifest. `nbuckets`/`batch_id`/`columns` arrived with the
@@ -173,7 +187,10 @@ object SnapshotTable {
       field(json, "id").toLong, field(json, "parent").toLong,
       field(json, "entity_col"), field(json, "time_col"),
       nbuckets, fieldOpt(json, "batch_id").map(_.toLong).getOrElse(-1L),
-      cols, buckets)
+      cols, buckets,
+      // absent in pre-evolution manifests = homogeneous (they couldn't mix)
+      fieldOpt(json, "mixed_schema").contains("true"),
+      fieldOpt(json, "schema_ddl").getOrElse(""))
   }
 
   // --- pointer --------------------------------------------------------------
@@ -294,9 +311,17 @@ object SnapshotTable {
     * parent snapshot's are NOT rewritten — their slices are reused (resume
     * path). For appends, [[commitDelta]] does the same with an O(delta)
     * scan instead of re-reading the whole table.
+    *
+    * `evolveSchema = true` permits a DIFFERENT column set than the table's
+    * recorded one (any change — the full content is rewritten anyway, so
+    * no slice is left behind on the old schema); the manifest then records
+    * the new columns. Note the resume-if-unchanged diff compares digests
+    * hashed over each side's own column set, so a schema-changing commit
+    * rewrites every bucket even if the shared columns are identical.
     */
   def commit(df0: DataFrame, root: String, entityCol: String, timeCol: String,
-      buckets: Int = 16, batchId: Long = -1L): Long = {
+      buckets: Int = 16, batchId: Long = -1L,
+      evolveSchema: Boolean = false): Long = {
     val df = df0.withColumn(BucketCol, bucketExpr(entityCol, buckets))
     // ONE stats scan of df, reused across optimistic retries (the diff and
     // the changed-bucket write depend on the parent, so those rerun)
@@ -310,8 +335,10 @@ object SnapshotTable {
         require(p.nbuckets < 0 || p.nbuckets == buckets,
           s"bucket count $buckets != table's ${p.nbuckets} at $root")
         // empty = pre-slice-format manifest without a recorded schema: skip
-        require(p.columns.isEmpty || p.columns == df0.columns.sorted.toSeq,
-          s"schema ${df0.columns.sorted.toSeq} != table's ${p.columns} at $root")
+        require(evolveSchema || p.columns.isEmpty ||
+          p.columns == df0.columns.sorted.toSeq,
+          s"schema ${df0.columns.sorted.toSeq} != table's ${p.columns} at " +
+            s"$root (pass evolveSchema = true to change it)")
         // a key-column typo must not silently re-bucket the whole table
         // (same rail commitDelta has always had)
         require(p.entityCol == entityCol && p.timeCol == timeCol,
@@ -349,9 +376,17 @@ object SnapshotTable {
           Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
         else parentSlices(k)
       }
+      // slices can disagree on schema only if some parent slice was CARRIED
+      // (resume path) and either the parent already mixed or this commit
+      // changed the column set; a full rewrite (changed == all) clears it
+      val schemaChanged = parent.exists(p =>
+        p.columns.nonEmpty && p.columns != df0.columns.sorted.toSeq)
+      val mixed = changed.size < man.size &&
+        (parent.exists(_.mixedSchema) || schemaChanged)
       publish(root, Snapshot(newId, parent.map(_.id).getOrElse(-1L),
         entityCol, timeCol, buckets, batchId, df0.columns.sorted.toSeq,
-        newBuckets)) match {
+        newBuckets, mixed,
+        df0.select(df0.columns.sorted.map(col): _*).schema.toDDL)) match {
         case Some(id) => return id
         case None     => attempt += 1 // lost the claim: re-read head, retry
       }
@@ -378,9 +413,17 @@ object SnapshotTable {
     * replayed, so checking the current snapshot suffices.
     *
     * On an empty table this degenerates to [[commit]].
+    *
+    * `evolveSchema = true` permits ADDITIVE evolution: the delta may carry
+    * new columns on top of every recorded one (Iceberg's add-column). The
+    * manifest records the widened set; slices written before the evolution
+    * read back with null in the new columns. Dropping or renaming a column
+    * on APPEND stays an error either way — old slices are carried verbatim,
+    * so a narrower delta would make the same column half-present.
     */
   def commitDelta(delta: DataFrame, root: String, entityCol: String,
-      timeCol: String, buckets: Int = 16, batchId: Long = -1L): Long = {
+      timeCol: String, buckets: Int = 16, batchId: Long = -1L,
+      evolveSchema: Boolean = false): Long = {
     val df = delta.withColumn(BucketCol, bucketExpr(entityCol, buckets))
     // the delta's slices are PARENT-INDEPENDENT: scanned and staged at most
     // once, then reused verbatim across optimistic retries (only the
@@ -411,7 +454,8 @@ object SnapshotTable {
           // winner's rows)
           stageOnce(0L)
           publish(root, Snapshot(0L, -1L, entityCol, timeCol, buckets,
-            batchId, delta.columns.sorted.toSeq, deltaSlices)) match {
+            batchId, delta.columns.sorted.toSeq, deltaSlices, false,
+            delta.select(delta.columns.sorted.map(col): _*).schema.toDDL)) match {
             case Some(id) => return id
             case None     => attempt += 1
           }
@@ -421,12 +465,28 @@ object SnapshotTable {
             s"bucket count $buckets != table's ${p.nbuckets} at $root")
           require(p.entityCol == entityCol && p.timeCol == timeCol,
             s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")
-          require(p.columns.isEmpty || p.columns == delta.columns.sorted.toSeq,
-            s"delta schema ${delta.columns.sorted.toSeq} != table's ${p.columns}")
+          val deltaCols = delta.columns.sorted.toSeq
+          if (evolveSchema)
+            require(p.columns.forall(deltaCols.contains),
+              s"schema evolution on append is ADDITIVE only: delta $deltaCols " +
+                s"is missing recorded columns ${p.columns.filterNot(deltaCols.contains)}")
+          else
+            require(p.columns.isEmpty || p.columns == deltaCols,
+              s"delta schema $deltaCols != table's ${p.columns} " +
+                "(pass evolveSchema = true to add columns)")
           stageOnce(p.id + 1)
           if (man.isEmpty) return p.id // empty delta: nothing to commit
+          val cols = if (p.columns.isEmpty) p.columns else deltaCols
+          val mixed = p.mixedSchema ||
+            (p.columns.nonEmpty && p.columns != deltaCols)
+          // legacy manifests (no recorded columns) keep their (empty) DDL;
+          // otherwise the delta's — equal on a plain append, WIDENED under
+          // evolution, which is exactly what mixed reads must pad to
+          val ddl =
+            if (p.columns.isEmpty) p.schemaDdl
+            else delta.select(deltaCols.map(col): _*).schema.toDDL
           publish(root, Snapshot(p.id + 1, p.id, entityCol, timeCol, buckets,
-            batchId, p.columns, p.buckets ++ deltaSlices)) match {
+            batchId, cols, p.buckets ++ deltaSlices, mixed, ddl)) match {
             case Some(id) => return id
             case None     => attempt += 1
           }
@@ -460,11 +520,12 @@ object SnapshotTable {
       // ONE job for all compacted buckets (not a driver loop of per-bucket
       // jobs): union per bucket, one shuffle hash-partitioned by bucket, one
       // sorted file per bucket out of partitionBy
-      readSlices(spark, toCompact.flatMap(k => bySlices(k))).foreach { df =>
-        df.repartition(toCompact.size, col(BucketCol))
-          .sortWithinPartitions(col(BucketCol), col(p.entityCol), col(p.timeCol))
-          .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
-      }
+      readSlices(spark, toCompact.flatMap(k => bySlices(k)), p.mixedSchema)
+        .foreach { df =>
+          df.repartition(toCompact.size, col(BucketCol))
+            .sortWithinPartitions(col(BucketCol), col(p.entityCol), col(p.timeCol))
+            .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+        }
       val newBuckets = bySlices.toSeq.sortBy(_._1).flatMap { case (k, ss) =>
         if (toCompact.contains(k)) {
           val (rows, wm, dg) = folded(k)
@@ -473,9 +534,12 @@ object SnapshotTable {
       }
       // batchId carries over: compaction must not defeat the replay-skip of
       // the delta commit it follows (a crash between them would otherwise
-      // re-append the batch on restart)
+      // re-append the batch on restart). mixedSchema carries too —
+      // UNCOMPACTED buckets may still hold pre-evolution slices (compacted
+      // ones are rewritten under the merged schema)
       publish(root, Snapshot(p.id + 1, p.id, p.entityCol, p.timeCol,
-        p.nbuckets, p.batchId, p.columns, newBuckets)) match {
+        p.nbuckets, p.batchId, p.columns, newBuckets, p.mixedSchema,
+        p.schemaDdl)) match {
         case Some(id) => return id
         case None     =>
           // a concurrent append landed between our read and claim: the
@@ -490,15 +554,35 @@ object SnapshotTable {
   /** One multi-path scan per BUCKET (not per slice): the union tree is
     * O(buckets) wide regardless of how many append slices accumulated, so
     * the logical plan stays small under long append histories.
+    * `mixed` (from the snapshot's [[Snapshot.mixedSchema]]): slices written
+    * before an additive schema evolution lack the newer columns — parquet
+    * schema-merging + union-by-name-with-nulls reconciles them. That merge
+    * reads a footer per FILE at planning, so it is paid only when the
+    * manifest says slices can actually disagree; the homogeneous common
+    * case keeps single-footer schema inference.
     */
-  private def readSlices(spark: SparkSession,
-      slices: Seq[BucketManifest]): Option[DataFrame] =
+  private def readSlices(spark: SparkSession, slices: Seq[BucketManifest],
+      mixed: Boolean = false): Option[DataFrame] =
     slices.filter(_.rows > 0).groupBy(_.bucket).toSeq.sortBy(_._1)
       .map { case (k, ss) =>
-        spark.read.parquet(ss.map(_.dir).distinct: _*)
-          .withColumn(BucketCol, lit(k))
+        val r = if (mixed) spark.read.option("mergeSchema", "true") else spark.read
+        r.parquet(ss.map(_.dir).distinct: _*).withColumn(BucketCol, lit(k))
       }
-      .reduceOption(_.unionByName(_))
+      .reduceOption(_.unionByName(_, allowMissingColumns = mixed))
+
+  /** Pad `df` with any recorded column it lacks, as typed nulls — a
+    * mixed-schema scan may have touched only pre-evolution slices (e.g. a
+    * pruned point lookup into a bucket whose slices all predate the
+    * evolution), leaving no slice to contribute the newer columns.
+    */
+  private def conform(df: DataFrame, snap: Snapshot): DataFrame =
+    if (!snap.mixedSchema || snap.schemaDdl.isEmpty) df
+    else {
+      val have = df.columns.toSet
+      org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl).fields
+        .filterNot(f => have.contains(f.name))
+        .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
 
   /** Read the table at a snapshot (default: current). Reconstructs exactly
     * the committed content, including the bucket column.
@@ -506,7 +590,9 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String, id: Option[Long] = None): DataFrame = {
     val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
-    readSlices(spark, snap.buckets).getOrElse(spark.emptyDataFrame)
+    readSlices(spark, snap.buckets, snap.mixedSchema)
+      .map(conform(_, snap))
+      .getOrElse(spark.emptyDataFrame)
   }
 
   /** Point-lookup read: opens ONLY the buckets that can hold `keys` —
@@ -530,12 +616,14 @@ object SnapshotTable {
     val wanted = spark.createDataset(keys).toDF(snap.entityCol)
       .select(bucketExpr(snap.entityCol, snap.nbuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    readSlices(spark, snap.buckets.filter(b => wanted.contains(b.bucket)))
+    readSlices(spark, snap.buckets.filter(b => wanted.contains(b.bucket)),
+        snap.mixedSchema)
       // keys may hash to buckets that never held rows: keep the schema by
       // falling back to a zero-row slice read
-      .orElse(readSlices(spark, snap.buckets).map(_.limit(0))) match {
-      case Some(df) => df.filter(col(snap.entityCol).isInCollection(keys))
-      case None     => spark.emptyDataFrame // empty table: no schema to give
+      .orElse(readSlices(spark, snap.buckets, snap.mixedSchema).map(_.limit(0))) match {
+      case Some(df) =>
+        conform(df, snap).filter(col(snap.entityCol).isInCollection(keys))
+      case None => spark.emptyDataFrame // empty table: no schema to give
     }
   }
 
@@ -556,7 +644,9 @@ object SnapshotTable {
     require(fromDirs.subsetOf(to.buckets.map(_.dir).toSet),
       s"snapshot $fromId's slices were compacted away after id ${from.id}; " +
         "incremental read is only valid across append-only history")
-    readSlices(spark, to.buckets.filterNot(b => fromDirs.contains(b.dir)))
+    readSlices(spark, to.buckets.filterNot(b => fromDirs.contains(b.dir)),
+        to.mixedSchema)
+      .map(conform(_, to))
       .getOrElse(read(spark, root, Some(to.id)).limit(0))
   }
 

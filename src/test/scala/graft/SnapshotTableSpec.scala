@@ -420,6 +420,46 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(missing.isEmpty && missing.columns.contains("entity_id"))
   }
 
+  test("additive schema evolution: append with a new column; old slices read null") {
+    import spark.implicits._
+    val root = tmpRoot("evo")
+    val base = Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("entity_id", "event_ms", "v")
+    SnapshotTable.commit(base, root, "entity_id", "event_ms", buckets = 4)
+    val delta = Seq((3L, 30L, "c", 1.5)).toDF("entity_id", "event_ms", "v", "score")
+    // without the opt-in, a widened delta is still rejected
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelta(delta, root, "entity_id", "event_ms", buckets = 4)
+    }
+    SnapshotTable.commitDelta(delta, root, "entity_id", "event_ms", buckets = 4,
+      evolveSchema = true)
+    assert(SnapshotTable.currentSnapshot(root).get.mixedSchema,
+      "evolution must flag the manifest so reads pay schema-merging")
+    val back = SnapshotTable.read(spark, root)
+    assert(back.count() == 3 && back.columns.contains("score"))
+    val score = back.collect()
+      .map(r => r.getAs[Long]("entity_id") -> Option(r.getAs[Any]("score"))).toMap
+    assert(score(1L).isEmpty && score(2L).isEmpty && score(3L).contains(1.5))
+    // dropping a recorded column stays an error even with the flag (old
+    // slices are carried verbatim — the column would be half-present)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelta(Seq((4L, 40L)).toDF("entity_id", "event_ms"),
+        root, "entity_id", "event_ms", buckets = 4, evolveSchema = true)
+    }
+    // compaction across the evolution boundary preserves content
+    SnapshotTable.compact(spark, root, maxSlices = 1)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+    // bucket-pruned lookup of a pre-evolution entity sees the null column
+    val one = SnapshotTable.readEntities[Long](spark, root, Seq(1L)).collect()
+    assert(one.length == 1 && one.head.getAs[Any]("score") == null)
+    // a full rewrite on one schema clears the flag (every row changed ->
+    // every bucket rewritten; a carried bucket would keep it conservatively)
+    val full = SnapshotTable.read(spark, root).drop(SnapshotTable.BucketCol)
+      .withColumn("v", concat(col("v"), lit("!")))
+    SnapshotTable.commit(full, root, "entity_id", "event_ms", buckets = 4,
+      evolveSchema = true)
+    assert(!SnapshotTable.currentSnapshot(root).get.mixedSchema)
+  }
+
   test("concurrent appends: every commit survives, one claim per snapshot id") {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
