@@ -67,6 +67,17 @@ object QueriesText {
         round(Text.stopwordRatio(col("text"), Corpus.Stopwords), 4).as("stopword_ratio"),
         round(Text.punctRatio(col("text")), 4).as("punct_ratio"))),
 
+    // ---- TXT: Gopher-style repetition signals ---------------------------------
+    // dup-word fraction + top-bigram share, zero-shuffle per-document HOFs;
+    // the oracle recomputes the bigram top share via unnest + group-by (the
+    // shapes differ by design — DuckDB has no sorted-run fold — the VALUES
+    // must agree exactly)
+    "txt_repetition" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(Text.dupWordFrac(col("text")) + lit(1e-9), 4).as("dup_word_frac"),
+        round(Text.topBigramFrac(col("text")) + lit(1e-9), 4).as("top_bigram_frac"))),
+
     // ---- TXT: heuristic language id -------------------------------------------
     // hot-path form: the typed single-pass kernel (spec-asserted equal to
     // the Text.langId column form; the interpreted array-HOF filters of the
@@ -373,6 +384,25 @@ object QueriesText {
              CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
                / length(text) ELSE 0.0 END, 4) AS punct_ratio
          FROM toks""",
+    "txt_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+           FROM documents),
+         base AS (SELECT doc_id, len(tk) AS n_tokens,
+           CASE WHEN len(tk) > 0 THEN
+             1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+             ELSE 0.0 END AS dupf, tk
+           FROM toks),
+         bg AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i + 1])) AS g
+           FROM base WHERE len(tk) >= 2),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY 1)
+         SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           round(b.dupf + 1e-9, 4) AS dup_word_frac,
+           round(COALESCE(t.mx * 1.0 / t.tot, 0.0) + 1e-9, 4) AS top_bigram_frac
+         FROM base b LEFT JOIN top t USING (doc_id)""",
     "txt_langid" ->
       """WITH toks AS (SELECT doc_id, lang,
            list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS tk

@@ -55,6 +55,46 @@ object Text {
       .otherwise(lit(0.0))
   }
 
+  /** Fraction of tokens that repeat an earlier token — the word-level
+    * repetition signal of Gopher-style quality filtering (Rae et al. 2021
+    * §A.1.1: repetitious documents are low-quality). Pure per-row array
+    * algebra: zero shuffle at any corpus size.
+    */
+  def dupWordFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** The single most frequent bigram's share of all bigrams (Gopher's
+    * top-2-gram fraction). Computed without a shuffle: bigrams are built
+    * with `transform` over the token array, sorted, and the longest
+    * equal-adjacent run found by one `aggregate` fold — per-document work
+    * only, so the operator scales embarrassingly at 10^12 documents where
+    * an explode + groupBy formulation would shuffle every bigram.
+    */
+  def topBigramFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val sorted = array_sort(bigrams)
+    val best = aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev") <=> x, acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    when(size(bigrams) > 0, best.cast("double") / size(bigrams))
+      .otherwise(lit(0.0))
+  }
+
   /** Heuristic quality score in [0,1]: rewards moderate length, low
     * punctuation, mid-range stopword ratio (reference analog: the
     * low-information feature filters `train_functions.R:15-26`).
@@ -143,10 +183,12 @@ object Text {
             if (len <= maxMarkerLen) {
               var k = 0
               while (k < len) { buf(k) = Character.toLowerCase(text.charAt(i + k)); k += 1 }
-              val mask = markerMask.get(new String(buf, 0, len))
-              if (mask != null) {
+              // missing key -> 0 (no marker bits), explicitly: Scala unboxes
+              // HashMap[String, Int].get's null to 0 anyway, but silently
+              val mask = markerMask.getOrDefault(new String(buf, 0, len), 0)
+              if (mask != 0) {
                 var b = 0
-                val mv = mask.intValue()
+                val mv = mask
                 while (b < counts.length) {
                   if ((mv & (1 << b)) != 0) counts(b) += 1
                   b += 1

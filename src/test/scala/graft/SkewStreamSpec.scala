@@ -255,6 +255,25 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(out.select(countDistinct(col("caption"))).head().getLong(0) == nDistinct)
   }
 
+  test("repetition signals match hand-computed values on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a b a b",          0.5,   2.0 / 3),  // bigrams: "a b","b a","a b"
+      ("x y z",            0.0,   0.5),      // all distinct; ties -> max 1 of 2
+      ("w w w w",          0.75,  1.0),      // one bigram repeated
+      ("solo",             0.0,   0.0),      // no bigrams
+      ("",                 0.0,   0.0),
+      ("  spaced   out  ", 0.0,   1.0)       // tokenizer must drop empties
+    ).toDF("text", "dup", "top")
+    val got = docs.select(col("dup"), col("top"),
+      graft.functions.Text.dupWordFrac(col("text")).as("g_dup"),
+      graft.functions.Text.topBigramFrac(col("text")).as("g_top")).collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-12, r.toString)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-12, r.toString)
+    }
+  }
+
   test("windowedCounts works on the corpus event schema; mean is opt-in") {
     // the corpus event schema has no "value" column — counts alone must
     // analyze; passing a value column adds mean_v
