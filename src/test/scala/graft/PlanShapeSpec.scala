@@ -127,6 +127,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"state join is not broadcast:\n$plan")
   }
 
+  test("repetition signals shuffle nothing: per-document HOFs, zero exchanges") {
+    // the claim behind Text.dupWordFrac/topBigramFrac: document-local
+    // quality stats must never shuffle (an explode+groupBy formulation
+    // would move every bigram of every document)
+    val df = SparkEntry.queries("txt_repetition")(spark, "/root/testdata/sf0.001")
+    val plan = executed(df)
+    assert(countOcc(plan, "Exchange") == 0,
+      s"txt_repetition plan shuffles:\n$plan")
+  }
+
   test("near-dup joins: no cartesian product, hot-bucket guard is broadcast") {
     import spark.implicits._
     val docs = (0 until 200).map(i => (i.toLong, s"w${i % 7} w${i % 5} w${i % 3} w$i end"))
