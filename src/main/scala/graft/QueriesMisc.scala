@@ -148,6 +148,27 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // ---- S2 upsert: MERGE INTO by (entity, time) key ------------------------
+    // commit the documents table, then upsert: lang rewritten to 'xx' for
+    // doc_id % 10 = 0 (replacement — same key) plus brand-new doc_ids
+    // shifted by 10M (insertion); O(touched buckets) cost is asserted by
+    // scan metrics in SnapshotTableSpec, the MERGE semantics here
+    "s2_upsert" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-ups").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(docs, root, "doc_id", "ts")
+      val updates = docs.where(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("xx"))
+        .unionByName(docs.where(col("doc_id") % 17 === 3)
+          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("ts", col("doc_id").cast("long")))
+      graft.tables.SnapshotTable.commitUpsert(updates, root, "doc_id", "ts")
+      graft.tables.SnapshotTable.read(s, root)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    }),
+
     // ---- S9 lineage: per-snapshot manifest totals as a queryable table ------
     // 3-snapshot table (base + two deltas), then the lineage DataFrame
     // aggregated per snapshot must report exactly the (parent chain,
@@ -216,6 +237,14 @@ object QueriesMisc {
       """SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
          UNION ALL
          SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1""",
+    "s2_upsert" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,
+           length(text) AS text_len
+         FROM documents
+         UNION ALL
+         SELECT doc_id + 10000000, lang, length(text)
+         FROM documents WHERE doc_id % 17 = 3""",
     "s9_lineage" ->
       """SELECT CAST(0 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,
            false AS is_current, count(*) AS n_rows,

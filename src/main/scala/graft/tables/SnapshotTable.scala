@@ -497,6 +497,84 @@ object SnapshotTable {
         s"$root — a writer is committing faster than this one can retry")
   }
 
+  /** UPSERT `updates` by the table's (entity, time) key — Iceberg's MERGE
+    * INTO shape, the feature-refresh operation of a point-in-time store:
+    * every existing row whose key matches an update row is replaced, the
+    * rest of the updates insert. Costs O(touched buckets + updates): only
+    * the buckets the updates hash into are read, merged and rewritten
+    * (each as ONE consolidated slice — an incidental compaction); every
+    * other bucket's slices carry over verbatim. At 10^12 rows refreshing
+    * one entity's features touches 1/nbuckets of the table.
+    *
+    * Deterministic delete-then-insert: ALL old rows matching some update
+    * key are dropped, then ALL update rows are written — an `updates`
+    * frame carrying several rows for one key keeps them all.
+    */
+  def commitUpsert(updates: DataFrame, root: String, entityCol: String,
+      timeCol: String, buckets: Int = 16, batchId: Long = -1L): Long = {
+    val spark = updates.sparkSession
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      currentSnapshot(root) match {
+        case None =>
+          // empty table: an upsert is just a first commit of the updates
+          return commitDelta(updates, root, entityCol, timeCol, buckets, batchId)
+        case Some(p) =>
+          if (batchId >= 0 && p.batchId == batchId) return p.id
+          require(p.nbuckets < 0 || p.nbuckets == buckets,
+            s"bucket count $buckets != table's ${p.nbuckets} at $root")
+          require(p.entityCol == entityCol && p.timeCol == timeCol,
+            s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")
+          require(p.columns.isEmpty || p.columns == updates.columns.sorted.toSeq,
+            s"updates schema ${updates.columns.sorted.toSeq} != table's ${p.columns}")
+
+          val df = updates.withColumn(BucketCol, bucketExpr(entityCol, buckets))
+          val updStats = bucketStats(df, updates.columns.toSeq, timeCol)
+          if (updStats.isEmpty) return p.id
+          val touched = updStats.keySet
+          val bySlices = p.buckets.groupBy(_.bucket)
+          val oldSlices = touched.toSeq.sorted.flatMap(k => bySlices.getOrElse(k, Seq.empty))
+
+          // merged content of the touched buckets: surviving old rows + all
+          // updates (old side conformed so a pre-evolution slice can't drop
+          // the union schema)
+          val old = readSlices(spark, oldSlices, p.mixedSchema)
+            .map(conform(_, p)).getOrElse(df.limit(0))
+          val merged = old
+            .join(df.select(col(entityCol), col(timeCol)).distinct(),
+              Seq(entityCol, timeCol), "left_anti")
+            .unionByName(df, allowMissingColumns = true)
+
+          val stage = newStage(root, p.id + 1)
+          merged.repartition(math.max(1, touched.size), col(BucketCol))
+            .sortWithinPartitions(col(BucketCol), col(entityCol), col(timeCol))
+            .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+          // stats of what was actually written (post-merge), one scan of the
+          // already-staged parquet — never the untouched buckets
+          val mergedStats = bucketStats(
+            spark.read.parquet(stage.toString), updates.columns.toSeq, timeCol)
+
+          val newBuckets = (bySlices.keySet ++ touched).toSeq.sorted.flatMap { k =>
+            if (touched.contains(k))
+              mergedStats.get(k).map { case (rows, wm, dg) =>
+                BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
+              }.toSeq
+            else bySlices(k)
+          }
+          // touched buckets were rewritten on the full recorded schema
+          // (conform) — only untouched ones can still hold old-schema slices
+          val mixed = p.mixedSchema && bySlices.keySet.exists(!touched.contains(_))
+          publish(root, Snapshot(p.id + 1, p.id, entityCol, timeCol, buckets,
+            batchId, p.columns, newBuckets, mixed, p.schemaDdl)) match {
+            case Some(id) => return id
+            case None     => attempt += 1 // merged vs a stale parent: redo
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"commitUpsert lost the optimistic claim $MaxCommitAttempts times at $root")
+  }
+
   /** Compact buckets that have accumulated more than `maxSlices` slices
     * (the small-files cost of O(delta) appends — Iceberg's rewrite-data-
     * files maintenance): each such bucket's slices are read back, rewritten

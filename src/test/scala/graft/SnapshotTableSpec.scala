@@ -460,6 +460,63 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(!SnapshotTable.currentSnapshot(root).get.mixedSchema)
   }
 
+  test("upsert replaces matching keys, inserts the rest, touches only their buckets") {
+    val root = tmpRoot("ups")
+    val ev = Corpus.events(spark, Corpus.Params(rows = 4000, entities = 16)).drop("bytes")
+    SnapshotTable.commit(ev, root, "entity_id", "event_ms", buckets = 16)
+    val before = SnapshotTable.currentSnapshot(root).get
+
+    // updates: overwrite caption for one entity's rows + insert a brand-new
+    // entity (both hash into a small subset of the 16 buckets)
+    val target = ev.select("entity_id").orderBy("entity_id").head().getString(0)
+    val replaced = ev.filter(col("entity_id") === target)
+      .withColumn("caption", lit("REPLACED"))
+    val inserted = ev.filter(col("entity_id") === target).limit(3)
+      .withColumn("entity_id", lit("brand-new-entity"))
+      .withColumn("event_ms", col("event_ms") + 1000000000L)
+    val updates = replaced.unionByName(inserted)
+
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    // materialize updates first so the listener only sees the upsert's scans
+    updates.cache().count()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SnapshotTable.commitUpsert(updates, root, "entity_id", "event_ms", buckets = 16)
+      var last = -1L; var spins = 0
+      while (read.get() != last && spins < 50) { last = read.get(); Thread.sleep(100); spins += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    val after = SnapshotTable.currentSnapshot(root).get
+    val touched = after.buckets.map(_.dir).toSet -- before.buckets.map(_.dir).toSet
+    val carried = after.buckets.map(_.dir).toSet intersect before.buckets.map(_.dir).toSet
+    assert(touched.nonEmpty && carried.nonEmpty,
+      s"expected a mix of rewritten and carried slices, got touched=$touched")
+
+    // content: replaced rows new caption, others untouched, inserts present
+    val back = SnapshotTable.read(spark, root)
+    assert(back.count() == 4000 + 3)
+    assert(back.filter(col("entity_id") === target)
+      .filter(col("caption") =!= "REPLACED").count() == 0)
+    assert(back.filter(col("entity_id") === "brand-new-entity").count() == 3)
+    val untouchedRows = ev.filter(col("entity_id") =!= target)
+    assert(back.filter(col("entity_id") =!= target &&
+      col("entity_id") =!= "brand-new-entity").count() == untouchedRows.count())
+
+    // cost: the upsert read the touched buckets (twice: merge + stats of the
+    // staged write) — never the whole table
+    val touchedRows = before.folded
+      .filter { case (k, _) => after.buckets.filter(b => touched.contains(b.dir)).map(_.bucket).contains(k) }
+      .values.map(_._1).sum
+    assert(read.get() < 4000,
+      s"upsert scanned ${read.get()} records — the whole ${4000}-row table was read " +
+        s"(touched buckets hold only $touchedRows)")
+    updates.unpersist()
+  }
+
   test("concurrent appends: every commit survives, one claim per snapshot id") {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
