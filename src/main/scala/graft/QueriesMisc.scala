@@ -169,6 +169,24 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
 
+    // ---- S2 entity delete: right-to-be-forgotten erasure --------------------
+    // commit the documents table, delete every doc_id divisible by 7, read
+    // the head — O(touched buckets) cost + time-travel retention are
+    // asserted in SnapshotTableSpec, the erasure semantics here
+    "s2_delete" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-del").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(docs, root, "doc_id", "ts")
+      val victims = docs.where(col("doc_id") % 7 === 0)
+        .select("doc_id").as[Long].collect().toSeq
+      graft.tables.SnapshotTable.commitDelete[Long](s, root, victims)
+      graft.tables.SnapshotTable.read(s, root)
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    }),
+
     // ---- S9 lineage: per-snapshot manifest totals as a queryable table ------
     // 3-snapshot table (base + two deltas), then the lineage DataFrame
     // aggregated per snapshot must report exactly the (parent chain,
@@ -237,6 +255,9 @@ object QueriesMisc {
       """SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
          UNION ALL
          SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1""",
+    "s2_delete" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+         WHERE doc_id % 7 <> 0""",
     "s2_upsert" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 10 = 0 THEN 'xx' ELSE lang END AS lang,

@@ -575,6 +575,74 @@ object SnapshotTable {
       s"commitUpsert lost the optimistic claim $MaxCommitAttempts times at $root")
   }
 
+  /** DELETE every row of the given entities (the right-to-be-forgotten
+    * shape: per-entity erasure, not per-row tombstones). Costs O(touched
+    * buckets): only the buckets the keys hash into are read, filtered and
+    * rewritten; a bucket left empty disappears from the manifest. Returns
+    * the new snapshot id — the current one if no key had rows.
+    *
+    * Older snapshots still reference the pre-delete slices (time travel is
+    * the point of snapshots); PHYSICAL erasure completes when
+    * [[expireSnapshots]] reclaims every snapshot that predates the delete.
+    */
+  def commitDelete[T](spark: SparkSession, root: String, keys: Seq[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Long = {
+    require(keys.nonEmpty && !keys.contains(null.asInstanceOf[T]),
+      "commitDelete: keys must be a non-empty, null-free list")
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      val p = currentSnapshot(root)
+        .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+      require(p.nbuckets > 0,
+        s"bucket count unrecorded at $root (pre-slice-format manifest): " +
+          "one commit records it")
+      val touched = spark.createDataset(keys).toDF(p.entityCol)
+        .select(bucketExpr(p.entityCol, p.nbuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val bySlices = p.buckets.groupBy(_.bucket)
+      val oldSlices = touched.toSeq.sorted.flatMap(k => bySlices.getOrElse(k, Seq.empty))
+      if (oldSlices.isEmpty) return p.id // keys hash only into empty buckets
+
+      val kept = readSlices(spark, oldSlices, p.mixedSchema)
+        .map(conform(_, p)).get
+        .filter(!col(p.entityCol).isInCollection(keys))
+      val stage = newStage(root, p.id + 1)
+      kept.repartition(math.max(1, touched.size), col(BucketCol))
+        .sortWithinPartitions(col(BucketCol), col(p.entityCol), col(p.timeCol))
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
+      val dataCols =
+        if (p.columns.nonEmpty) p.columns
+        else kept.columns.filterNot(_ == BucketCol).toSeq
+      val hasData = {
+        // an all-rows-deleted stage has no bucket dirs to scan
+        val st = Files.list(stage)
+        try st.anyMatch(q => q.getFileName.toString.startsWith(s"$BucketCol="))
+        finally st.close()
+      }
+      val keptStats =
+        if (hasData)
+          bucketStats(spark.read.parquet(stage.toString), dataCols, p.timeCol)
+        else Map.empty[Int, (Long, Long, Long)]
+
+      val newBuckets = bySlices.keySet.toSeq.sorted.flatMap { k =>
+        if (touched.contains(k))
+          keptStats.get(k).map { case (rows, wm, dg) =>
+            BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
+          }.toSeq // empty bucket: gone from the manifest
+        else bySlices(k)
+      }
+      val mixed = p.mixedSchema && bySlices.keySet.exists(!touched.contains(_))
+      publish(root, Snapshot(p.id + 1, p.id, p.entityCol, p.timeCol,
+        p.nbuckets, p.batchId, p.columns, newBuckets, mixed,
+        p.schemaDdl)) match {
+        case Some(id) => return id
+        case None     => attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"commitDelete lost the optimistic claim $MaxCommitAttempts times at $root")
+  }
+
   /** Compact buckets that have accumulated more than `maxSlices` slices
     * (the small-files cost of O(delta) appends — Iceberg's rewrite-data-
     * files maintenance): each such bucket's slices are read back, rewritten

@@ -517,6 +517,37 @@ class SnapshotTableSpec extends AnyFunSuite {
     updates.unpersist()
   }
 
+  test("entity delete erases from the head, keeps time travel, empties vanish") {
+    import spark.implicits._
+    val root = tmpRoot("del")
+    val ev = Corpus.events(spark, Corpus.Params(rows = 2000, entities = 12)).drop("bytes")
+    SnapshotTable.commit(ev, root, "entity_id", "event_ms", buckets = 8)
+    val entities = ev.select("entity_id").distinct()
+      .orderBy("entity_id").collect().map(_.getString(0)).toSeq
+    val victims = entities.take(2)
+    val before = SnapshotTable.currentSnapshot(root).get
+
+    SnapshotTable.commitDelete[String](spark, root, victims)
+    val back = SnapshotTable.read(spark, root)
+    assert(back.filter(col("entity_id").isInCollection(victims)).count() == 0)
+    assert(back.count() ==
+      ev.filter(!col("entity_id").isInCollection(victims)).count())
+    // untouched buckets carried verbatim (no whole-table rewrite)
+    val after = SnapshotTable.currentSnapshot(root).get
+    assert((after.buckets.map(_.dir).toSet intersect
+      before.buckets.map(_.dir).toSet).nonEmpty)
+    // time travel still sees the pre-delete content until expiry
+    assert(SnapshotTable.read(spark, root, Some(before.id))
+      .filter(col("entity_id").isInCollection(victims)).count() > 0)
+    // deleting EVERY entity leaves a legal empty table
+    SnapshotTable.commitDelete[String](spark, root, entities)
+    assert(SnapshotTable.read(spark, root).isEmpty)
+    assert(SnapshotTable.watermark(root).isEmpty)
+    // physical erasure: expire pre-delete snapshots, victims' slices gone
+    SnapshotTable.expireSnapshots(root, keepFrom = after.id + 1)
+    intercept[Exception] { SnapshotTable.read(spark, root, Some(before.id)).count() }
+  }
+
   test("concurrent appends: every commit survives, one claim per snapshot id") {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
