@@ -159,10 +159,14 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), col("text"),
           col("doc_id").cast("long").as("ts"))
       graft.tables.SnapshotTable.commit(docs, root, "doc_id", "ts")
+      // inserted keys are NEGATIVE (-doc_id - 1): collision-free with the
+      // table's nonnegative ids by construction at ANY scale factor (an
+      // additive shift would start replacing real rows once doc_ids reach
+      // the shift)
       val updates = docs.where(col("doc_id") % 10 === 0)
         .withColumn("lang", lit("xx"))
         .unionByName(docs.where(col("doc_id") % 17 === 3)
-          .withColumn("doc_id", col("doc_id") + 10000000L)
+          .withColumn("doc_id", -col("doc_id") - 1L)
           .withColumn("ts", col("doc_id").cast("long")))
       graft.tables.SnapshotTable.commitUpsert(updates, root, "doc_id", "ts")
       graft.tables.SnapshotTable.read(s, root)
@@ -264,7 +268,7 @@ object QueriesMisc {
            length(text) AS text_len
          FROM documents
          UNION ALL
-         SELECT doc_id + 10000000, lang, length(text)
+         SELECT -doc_id - 1, lang, length(text)
          FROM documents WHERE doc_id % 17 = 3""",
     "s9_lineage" ->
       """SELECT CAST(0 AS BIGINT) AS snapshot_id, CAST(-1 AS BIGINT) AS parent_id,

@@ -275,23 +275,30 @@ object SnapshotTable {
     * (create-if-absent is atomic on POSIX), so a visible manifest is always
     * complete and exactly one writer commits a given id. Returns false when
     * another writer holds the claim. Filesystems without hard links fall
-    * back to an atomic move without replace (best-effort CAS — the JDK
-    * leaves replace-on-existing implementation-specific there).
+    * back to an O_EXCL (CREATE_NEW) write: still a true compare-and-swap —
+    * a crash mid-write can leave a truncated claim there, which fails
+    * LOUDLY at the next parse, whereas a rename-based fallback would
+    * silently replace a racing writer's committed manifest (a lost commit;
+    * the one failure mode this layer exists to rule out).
     */
   private def claimManifest(root: String, snap: Snapshot): Boolean = {
     val snapsDir = Paths.get(root, "snapshots")
     Files.createDirectories(snapsDir)
     val target = snapsDir.resolve(s"v${snap.id}.json")
     if (Files.exists(target)) return false // fast path: already claimed
+    val json = toJson(snap)
     val tmp = Files.createTempFile(snapsDir, s"v${snap.id}.", ".tmp")
     try {
-      Files.writeString(tmp, toJson(snap))
+      Files.writeString(tmp, json)
       try { Files.createLink(target, tmp); true }
       catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: UnsupportedOperationException =>
-          try { Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          try {
+            Files.writeString(target, json,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
       }
     } finally Files.deleteIfExists(tmp): Unit
   }
@@ -304,6 +311,26 @@ object SnapshotTable {
     else { swapPointer(root, snap.id); Some(snap.id) }
 
   private val MaxCommitAttempts = 10
+
+  /** Type-aware schema rail: the name-equality checks alone let a column's
+    * TYPE change slip through (e.g. v: Int re-appended as v: Long), mixing
+    * physically-incompatible parquet slices inside one bucket — which the
+    * non-merging read path then mis-decodes or rejects. Every column the
+    * table recorded (legacy manifests recorded none) must keep its exact
+    * type; evolution may only ADD columns, never mutate one.
+    */
+  private def requireTypesMatch(p: Snapshot, df: DataFrame, what: String): Unit =
+    if (p.schemaDdl.nonEmpty) {
+      val recorded = org.apache.spark.sql.types.StructType.fromDDL(p.schemaDdl)
+        .fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        recorded.get(f.name).foreach { t =>
+          require(f.dataType == t,
+            s"$what column '${f.name}' has type ${f.dataType.sql}, the table " +
+              s"recorded ${t.sql} — column types cannot change")
+        }
+      }
+    }
 
   /** Commit the FULL content `df` as a new snapshot of the table at `root`
     * (overwrite semantics: the new snapshot's content is exactly `df`).
@@ -339,6 +366,10 @@ object SnapshotTable {
           p.columns == df0.columns.sorted.toSeq,
           s"schema ${df0.columns.sorted.toSeq} != table's ${p.columns} at " +
             s"$root (pass evolveSchema = true to change it)")
+        // an evolving full commit rewrites every slice, so new types are
+        // fine there; a plain commit must not mutate a column's type (the
+        // resume path can carry old slices)
+        if (!evolveSchema) requireTypesMatch(p, df0, "commit")
         // a key-column typo must not silently re-bucket the whole table
         // (same rail commitDelta has always had)
         require(p.entityCol == entityCol && p.timeCol == timeCol,
@@ -474,6 +505,7 @@ object SnapshotTable {
             require(p.columns.isEmpty || p.columns == deltaCols,
               s"delta schema $deltaCols != table's ${p.columns} " +
                 "(pass evolveSchema = true to add columns)")
+          requireTypesMatch(p, delta, "delta")
           stageOnce(p.id + 1)
           if (man.isEmpty) return p.id // empty delta: nothing to commit
           val cols = if (p.columns.isEmpty) p.columns else deltaCols
@@ -521,17 +553,32 @@ object SnapshotTable {
           return commitDelta(updates, root, entityCol, timeCol, buckets, batchId)
         case Some(p) =>
           if (batchId >= 0 && p.batchId == batchId) return p.id
-          require(p.nbuckets < 0 || p.nbuckets == buckets,
+          // a MERGE is only correct against the table's own bucketing: a
+          // legacy manifest without a recorded count cannot be upserted
+          // (an append records the count, after which upserts work)
+          require(p.nbuckets > 0,
+            s"bucket count unrecorded at $root (pre-slice-format manifest): " +
+              "one append records it, then upsert")
+          require(p.nbuckets == buckets,
             s"bucket count $buckets != table's ${p.nbuckets} at $root")
           require(p.entityCol == entityCol && p.timeCol == timeCol,
             s"key columns ($entityCol, $timeCol) != table's (${p.entityCol}, ${p.timeCol})")
           require(p.columns.isEmpty || p.columns == updates.columns.sorted.toSeq,
             s"updates schema ${updates.columns.sorted.toSeq} != table's ${p.columns}")
+          requireTypesMatch(p, updates, "updates")
 
           val df = updates.withColumn(BucketCol, bucketExpr(entityCol, buckets))
-          val updStats = bucketStats(df, updates.columns.toSeq, timeCol)
-          if (updStats.isEmpty) return p.id
-          val touched = updStats.keySet
+          // only the bucket IDS are needed up front (stats of what is
+          // actually written come from the staged merge) — a distinct over
+          // the bucket expression, not a full hash-digest aggregation
+          val touched = df.select(col(BucketCol).as("b")).distinct()
+            .collect().map { r =>
+              if (r.isNullAt(0)) throw new IllegalArgumentException(
+                "SnapshotTable: the entity column contains nulls — filter " +
+                  "or recode null entities before upsert")
+              r.getInt(0)
+            }.toSet
+          if (touched.isEmpty) return p.id
           val bySlices = p.buckets.groupBy(_.bucket)
           val oldSlices = touched.toSeq.sorted.flatMap(k => bySlices.getOrElse(k, Seq.empty))
 
@@ -564,8 +611,12 @@ object SnapshotTable {
           // touched buckets were rewritten on the full recorded schema
           // (conform) — only untouched ones can still hold old-schema slices
           val mixed = p.mixedSchema && bySlices.keySet.exists(!touched.contains(_))
+          // a maintenance upsert (no batchId) must CARRY the parent's
+          // streaming replay marker, like compact does — overwriting it
+          // with -1 would let a crash-replayed micro-batch re-append
+          val bid = if (batchId >= 0) batchId else p.batchId
           publish(root, Snapshot(p.id + 1, p.id, entityCol, timeCol, buckets,
-            batchId, p.columns, newBuckets, mixed, p.schemaDdl)) match {
+            bid, p.columns, newBuckets, mixed, p.schemaDdl)) match {
             case Some(id) => return id
             case None     => attempt += 1 // merged vs a stale parent: redo
           }
@@ -596,7 +647,11 @@ object SnapshotTable {
       require(p.nbuckets > 0,
         s"bucket count unrecorded at $root (pre-slice-format manifest): " +
           "one commit records it")
-      val touched = spark.createDataset(keys).toDF(p.entityCol)
+      val keyDf = spark.createDataset(keys).toDF(p.entityCol)
+      // a mistyped key prunes the WRONG buckets and the delete silently
+      // leaves the data in place — fail fast instead
+      requireTypesMatch(p, keyDf, "delete key")
+      val touched = keyDf
         .select(bucketExpr(p.entityCol, p.nbuckets).as("b"))
         .distinct().collect().map(_.getInt(0)).toSet
       val bySlices = p.buckets.groupBy(_.bucket)
@@ -759,14 +814,25 @@ object SnapshotTable {
     require(snap.nbuckets > 0,
       s"bucket count unrecorded at $root (pre-slice-format manifest): " +
         "one commit records it, or use read() with a filter")
-    val wanted = spark.createDataset(keys).toDF(snap.entityCol)
+    val keyDf = spark.createDataset(keys).toDF(snap.entityCol)
+    // a mistyped key hashes to the WRONG bucket and silently returns
+    // nothing (e.g. Long 5 vs the table's string "5") — fail fast instead
+    requireTypesMatch(snap, keyDf, "lookup key")
+    val wanted = keyDf
       .select(bucketExpr(snap.entityCol, snap.nbuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     readSlices(spark, snap.buckets.filter(b => wanted.contains(b.bucket)),
         snap.mixedSchema)
-      // keys may hash to buckets that never held rows: keep the schema by
-      // falling back to a zero-row slice read
-      .orElse(readSlices(spark, snap.buckets, snap.mixedSchema).map(_.limit(0))) match {
+      // keys may hash to buckets that never held rows: keep the schema —
+      // from the recorded DDL with zero I/O when available, else a
+      // zero-row read over the table's slices (legacy manifests only)
+      .orElse {
+        if (snap.schemaDdl.nonEmpty) Some(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+            .add(BucketCol, org.apache.spark.sql.types.IntegerType)))
+        else readSlices(spark, snap.buckets, snap.mixedSchema).map(_.limit(0))
+      } match {
       case Some(df) =>
         conform(df, snap).filter(col(snap.entityCol).isInCollection(keys))
       case None => spark.emptyDataFrame // empty table: no schema to give
@@ -835,6 +901,61 @@ object SnapshotTable {
     }
     dead.foreach(s => Files.deleteIfExists(snapsDir.resolve(s"v${s.id}.json")))
     (dead.size, deadStageDirs.size)
+  }
+
+  /** Reclaim ORPHANS: stage directories no manifest references (a lost
+    * optimistic retry or a killed writer stages data that never publishes)
+    * and leftover `*.tmp` manifest files — Iceberg's remove-orphan-files
+    * maintenance, complementing [[expireSnapshots]] (which only reclaims
+    * stages referenced by DEAD snapshots). Age-gated by file modification
+    * time: an in-flight writer's freshly-staged dir is also unreferenced
+    * until its publish, so anything younger than `olderThanMs` is kept
+    * (pick an age beyond any plausible commit duration). Returns (stage
+    * dirs deleted, tmp files deleted).
+    */
+  def removeOrphans(root: String,
+      olderThanMs: Long = 24L * 3600 * 1000): (Int, Int) = {
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val snapsDir = Paths.get(root, "snapshots")
+    val dataDir = Paths.get(root, "data")
+    val referenced: Set[Path] =
+      if (!Files.exists(snapsDir)) Set.empty
+      else {
+        val st = Files.list(snapsDir)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+          .flatMap(p => fromJson(Files.readString(p)).buckets
+            .map(b => Paths.get(b.dir).getParent))
+          .toSet
+        finally st.close()
+      }
+    var stages = 0
+    if (Files.exists(dataDir)) {
+      val st = Files.list(dataDir)
+      val candidates =
+        try st.iterator().asScala.filter(Files.isDirectory(_)).toSeq
+        finally st.close()
+      candidates
+        .filterNot(referenced.contains)
+        .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
+        .foreach { d =>
+          val walk = Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p): Unit)
+          finally walk.close()
+          stages += 1
+        }
+    }
+    var tmps = 0
+    if (Files.exists(snapsDir)) {
+      val st = Files.list(snapsDir)
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".tmp"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach { p => Files.deleteIfExists(p); tmps += 1 }
+      finally st.close()
+    }
+    (stages, tmps)
   }
 
   /** Per-partition lineage across ALL snapshots as a queryable DataFrame

@@ -548,6 +548,69 @@ class SnapshotTableSpec extends AnyFunSuite {
     intercept[Exception] { SnapshotTable.read(spark, root, Some(before.id)).count() }
   }
 
+  test("type rails: column type changes and mistyped keys are rejected") {
+    import spark.implicits._
+    val root = tmpRoot("types")
+    SnapshotTable.commit(Seq((1L, 10L, 1)).toDF("entity_id", "event_ms", "v"),
+      root, "entity_id", "event_ms", buckets = 2) // v: Int
+    // same names, v re-typed to Long: the name-only check would pass and
+    // mix int- and long-physical parquet in one bucket
+    val e1 = intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelta(
+        Seq((2L, 20L, 2L)).toDF("entity_id", "event_ms", "v"),
+        root, "entity_id", "event_ms", buckets = 2)
+    }
+    assert(e1.getMessage.contains("type"))
+    // entity keys of the wrong type hash to the wrong buckets: fail fast
+    // instead of an empty lookup / no-op delete
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.readEntities[String](spark, root, Seq("1"))
+    }
+    assert(e2.getMessage.contains("type"))
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotTable.commitDelete[String](spark, root, Seq("1"))
+    }
+    assert(e3.getMessage.contains("type"))
+  }
+
+  test("removeOrphans reclaims old unreferenced stages + tmp claims, spares young and referenced") {
+    import spark.implicits._
+    val root = tmpRoot("orph")
+    SnapshotTable.commit(Seq((1L, 10L)).toDF("entity_id", "event_ms"),
+      root, "entity_id", "event_ms", buckets = 2)
+    // a lost optimistic retry's stage and a crashed writer's tmp claim
+    val orphan = Paths.get(root, "data", "s9_99999c0")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("junk.parquet"), "x")
+    Files.writeString(Paths.get(root, "snapshots", "v9.123.tmp"), "{}")
+    // young files are in-flight commits: spared
+    val (st0, tmp0) = SnapshotTable.removeOrphans(root, olderThanMs = 3600000L)
+    assert(st0 == 0 && tmp0 == 0, "young unreferenced files must be spared")
+    val (st, tmp) = SnapshotTable.removeOrphans(root, olderThanMs = -1000L)
+    assert(st == 1 && tmp == 1, s"got ($st, $tmp)")
+    assert(!Files.exists(orphan))
+    assert(SnapshotTable.read(spark, root).count() == 1,
+      "referenced stage must survive regardless of age")
+  }
+
+  test("upsert without a batchId carries the parent's streaming replay marker") {
+    import spark.implicits._
+    val root = tmpRoot("upsbid")
+    val batch7 = Seq((1L, 10L, "a")).toDF("entity_id", "event_ms", "v")
+    SnapshotTable.commitDelta(batch7, root, "entity_id", "event_ms",
+      buckets = 2, batchId = 7L)
+    SnapshotTable.commitUpsert(
+      Seq((1L, 10L, "b")).toDF("entity_id", "event_ms", "v"),
+      root, "entity_id", "event_ms", buckets = 2)
+    assert(SnapshotTable.currentSnapshot(root).get.batchId == 7L)
+    // crash-replay of batch 7 AFTER the maintenance upsert: still skipped,
+    // and the upserted value survives
+    SnapshotTable.commitDelta(batch7, root, "entity_id", "event_ms",
+      buckets = 2, batchId = 7L)
+    val back = SnapshotTable.read(spark, root)
+    assert(back.count() == 1 && back.head().getAs[String]("v") == "b")
+  }
+
   test("concurrent appends: every commit survives, one claim per snapshot id") {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
