@@ -245,17 +245,24 @@ object StreamOps {
     */
   def commitStream(events: DataFrame, root: String, entityCol: String,
       timeCol: String, checkpointDir: String, buckets: Int = 16,
-      compactAfter: Int = 8): StreamingQuery = {
+      compactAfter: Int = 8, upsert: Boolean = false): StreamingQuery = {
     import graft.tables.SnapshotTable
     val q = events.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         // no isEmpty pre-check: that is a full extra pass over every
-        // micro-batch, and commitDelta already returns early on an empty
-        // delta from the same bucketStats scan it needs anyway
-        SnapshotTable.commitDelta(batch.toDF(), root, entityCol, timeCol,
-          buckets, batchId = bid)
+        // micro-batch, and both commit verbs already return early on an
+        // empty batch from a scan they need anyway.
+        // upsert = CDC-style ingestion: a re-delivered (entity, time) key
+        // REPLACES the stored row instead of appending a duplicate; both
+        // verbs are batchId-idempotent so at-least-once replay is safe
+        if (upsert)
+          SnapshotTable.commitUpsert(batch.toDF(), root, entityCol, timeCol,
+            buckets, batchId = bid)
+        else
+          SnapshotTable.commitDelta(batch.toDF(), root, entityCol, timeCol,
+            buckets, batchId = bid)
         if (SnapshotTable.currentId(root).isDefined)
           SnapshotTable.compact(batch.sparkSession, root,
             maxSlices = compactAfter): Unit

@@ -202,6 +202,38 @@ class SkewStreamSpec extends AnyFunSuite {
     assert(lin.where(col("snapshot_id") === 1L).agg(sum("rows")).head.getLong(0) == 600L)
   }
 
+  test("commitStream upsert mode: a re-arriving key replaces, not duplicates") {
+    val p = Corpus.Params(rows = 400, entities = 6)
+    val ev = Corpus.events(spark, p).drop("bytes")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cdc-src").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-root").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    ev.coalesce(1).write.mode("append").parquet(srcDir)
+    StreamOps.commitStream(
+      spark.readStream.schema(ev.schema).parquet(srcDir),
+      root, "entity_id", "event_ms", ckpt, buckets = 8, upsert = true)
+    // CDC correction arrives: the first 50 keys re-delivered with a new
+    // caption — append mode would duplicate them
+    val corrected = ev.where(col("seq") < 50)
+      .withColumn("caption", lit("CORRECTED"))
+    corrected.coalesce(1).write.mode("append").parquet(srcDir)
+    StreamOps.commitStream(
+      spark.readStream.schema(ev.schema).parquet(srcDir),
+      root, "entity_id", "event_ms", ckpt, buckets = 8, upsert = true)
+    val back = graft.tables.SnapshotTable.read(spark, root)
+    // upsert is delete-then-insert by (entity, event_ms): the corpus has
+    // deliberate duplicate-ts rows, so compute the expectation instead of
+    // assuming the original count
+    val survivors = ev.join(
+      corrected.select("entity_id", "event_ms").distinct(),
+      Seq("entity_id", "event_ms"), "left_anti")
+    val expected = survivors.count() + corrected.count()
+    assert(back.count() == expected,
+      s"CDC upsert: got ${back.count()}, expected $expected")
+    assert(back.where(col("caption") === "CORRECTED").count() ==
+      corrected.count())
+  }
+
   test("commitStream crash-replay window: re-delivered batchId is not double-applied") {
     // foreachBatch is at-least-once: a crash AFTER SnapshotTable.commitDelta
     // swapped CURRENT but BEFORE the streaming checkpoint recorded the batch
