@@ -44,7 +44,9 @@ object GraftExtensions {
     "graft_token_count" -> col1(c => Text.tokenCount(c).cast("long")),
     "graft_bpe_count" -> col1(Text.bpeTokenCount),
     "graft_quality" -> col1(c => Text.qualityScore(c, Corpus.Stopwords)),
-    "graft_stopword_ratio" -> col1(c => Text.stopwordRatio(c, Corpus.Stopwords)))
+    "graft_stopword_ratio" -> col1(c => Text.stopwordRatio(c, Corpus.Stopwords)),
+    "graft_dup_word_frac" -> col1(Text.dupWordFrac),
+    "graft_top_bigram_frac" -> col1(Text.topBigramFrac))
 
   /** Register the same functions into an already-built session. */
   def registerAll(spark: SparkSession): Unit =

@@ -96,13 +96,16 @@ class SkewStreamSpec extends AnyFunSuite {
     Corpus.events(spark, p).select(col("caption")).createOrReplaceTempView("ext_docs")
     val viaSql = spark.sql(
       """SELECT graft_fingerprint(caption) AS fp, graft_lang_id(caption) AS lid,
-         graft_token_count(caption) AS tc, graft_quality(caption) AS q
+         graft_token_count(caption) AS tc, graft_quality(caption) AS q,
+         graft_dup_word_frac(caption) AS dwf, graft_top_bigram_frac(caption) AS tbf
          FROM ext_docs""").collect()
     val viaCol = spark.table("ext_docs").select(
       graft.functions.Text.fingerprint(col("caption")).as("fp"),
       graft.functions.Text.langId(col("caption")).as("lid"),
       graft.functions.Text.tokenCount(col("caption")).cast("long").as("tc"),
-      graft.functions.Text.qualityScore(col("caption"), Corpus.Stopwords).as("q"))
+      graft.functions.Text.qualityScore(col("caption"), Corpus.Stopwords).as("q"),
+      graft.functions.Text.dupWordFrac(col("caption")).as("dwf"),
+      graft.functions.Text.topBigramFrac(col("caption")).as("tbf"))
       .collect()
     assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
   }
