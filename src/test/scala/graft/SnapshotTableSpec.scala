@@ -611,6 +611,53 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(back.count() == 1 && back.head().getAs[String]("v") == "b")
   }
 
+  test("verb interplay: evolve, then upsert, delete and incremental-read the mixed table") {
+    import spark.implicits._
+    val root = tmpRoot("interplay")
+    SnapshotTable.commit(
+      Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+        .toDF("entity_id", "event_ms", "v"),
+      root, "entity_id", "event_ms", buckets = 4)
+    // evolve: append a row carrying a new score column
+    SnapshotTable.commitDelta(
+      Seq((4L, 40L, "d", 4.0)).toDF("entity_id", "event_ms", "v", "score"),
+      root, "entity_id", "event_ms", buckets = 4, evolveSchema = true)
+    val evolvedId = SnapshotTable.currentId(root).get
+
+    // upsert ON the mixed table: replace entity 1's row (pre-evolution
+    // slice) with a scored version, insert entity 5
+    SnapshotTable.commitUpsert(
+      Seq((1L, 10L, "a2", 1.0), (5L, 50L, "e", 5.0))
+        .toDF("entity_id", "event_ms", "v", "score"),
+      root, "entity_id", "event_ms", buckets = 4)
+    val back = SnapshotTable.read(spark, root)
+    assert(back.count() == 5)
+    val byId = back.collect().map(r => r.getAs[Long]("entity_id") ->
+      ((r.getAs[String]("v"), Option(r.getAs[Any]("score"))))).toMap
+    assert(byId(1L) == (("a2", Some(1.0))), s"upserted row wrong: ${byId(1L)}")
+    assert(byId(2L)._2.isEmpty && byId(3L)._2.isEmpty,
+      "pre-evolution rows must read null score")
+    assert(byId(4L) == (("d", Some(4.0))) && byId(5L) == (("e", Some(5.0))))
+
+    // incremental read ACROSS the upsert must fail fast: an upsert rewrites
+    // touched buckets' slices (delete-then-insert is not append-only), so
+    // "slices added since" would silently double-count rewritten rows —
+    // the rail catches exactly this
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readIncremental(spark, root, evolvedId)
+    }
+    assert(e.getMessage.contains("append-only"))
+
+    // delete a pre-evolution entity from the mixed table
+    SnapshotTable.commitDelete[Long](spark, root, Seq(2L))
+    val afterDel = SnapshotTable.read(spark, root)
+    assert(afterDel.count() == 4 &&
+      afterDel.filter(col("entity_id") === 2L).isEmpty)
+    // the table still reads consistently after compaction
+    SnapshotTable.compact(spark, root, maxSlices = 1)
+    assert(SnapshotTable.read(spark, root).count() == 4)
+  }
+
   test("concurrent appends: every commit survives, one claim per snapshot id") {
     import spark.implicits._
     import scala.concurrent.{Await, ExecutionContext, Future}
