@@ -109,6 +109,27 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
 
+    // ---- S2 range read: min/max slice skipping on the time column -----------
+    // three commits chunked by event time (ts = doc_id: <12, 12..35, >=36 —
+    // the last chunk is the BULK of the table at any sf), then
+    // readRange(10, 35) must return exactly the BETWEEN predicate's rows;
+    // the manifest-level skipping (bulk slice never opened) is asserted by
+    // scan metrics in SnapshotTableSpec
+    "s2_range_read" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-rng").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(
+        docs.where(col("doc_id") < 12), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") >= 12 && col("doc_id") < 36), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") >= 36), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.readRange(s, root, Some(10L), Some(35L))
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    }),
+
     // ---- S2 point lookup: bucket-pruned read of a key list ------------------
     // commit the documents table, then readEntities over a fixed key list
     // (including one absent key) — the O(|keys|/nbuckets) lookup path must
@@ -255,6 +276,9 @@ object QueriesMisc {
     "s2_point_lookup" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
          WHERE doc_id IN (1, 7, 42, 999999999)""",
+    "s2_range_read" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+         WHERE doc_id BETWEEN 10 AND 35""",
     "s2_schema_evolution" ->
       """SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
          UNION ALL

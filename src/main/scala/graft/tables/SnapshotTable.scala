@@ -61,11 +61,18 @@ object SnapshotTable {
     * lineage stats. A bucket may have several slices (initial load + each
     * appended delta — Iceberg's manifest-lists-files shape); the bucket's
     * logical manifest is the FOLD of its slices (rows: sum, watermark: max,
-    * digest: xor — all associative+commutative, which is what makes O(delta)
-    * appends possible).
+    * digest: xor, tmin: min — all associative+commutative, which is what
+    * makes O(delta) appends possible).
+    *
+    * `tmin` is the slice's MIN event time — with `watermark` (the max) it
+    * gives [[readRange]] an Iceberg-style min/max skipping interval per
+    * slice. `Long.MinValue` means "no lower-bound claim" (a manifest
+    * written before this field existed, or a slice whose time column is
+    * entirely null): such a slice is never skipped on its lower bound —
+    * pruning degrades, correctness doesn't.
     */
   final case class BucketManifest(bucket: Int, dir: String, rows: Long,
-      watermark: Long, digest: Long)
+      watermark: Long, digest: Long, tmin: Long = Long.MinValue)
   /** `mixedSchema`: true once any slice was written under an older (pre-
     * additive-evolution) column set; read paths pay parquet schema-merging
     * (a footer read per file at planning) ONLY then — the homogeneous
@@ -121,7 +128,7 @@ object SnapshotTable {
   private def toJson(s: Snapshot): String = {
     val bs = s.buckets.sortBy(b => (b.bucket, b.dir)).map { b =>
       s"""{"bucket":${b.bucket},"dir":"${esc(b.dir)}","rows":${b.rows},""" +
-        s""""watermark":${b.watermark},"digest":${b.digest}}"""
+        s""""watermark":${b.watermark},"digest":${b.digest},"tmin":${b.tmin}}"""
     }.mkString("[", ",", "]")
     val cols = s.columns.map(c => s""""${esc(c)}"""").mkString("[", ",", "]")
     s"""{"id":${s.id},"parent":${s.parent},"entity_col":"${esc(s.entityCol)}",""" +
@@ -181,7 +188,9 @@ object SnapshotTable {
     val buckets = items.map(it =>
       BucketManifest(field(it, "bucket").toInt, field(it, "dir"),
         field(it, "rows").toLong, field(it, "watermark").toLong,
-        field(it, "digest").toLong))
+        field(it, "digest").toLong,
+        // absent before the range-pruning format: no lower-bound claim
+        fieldOpt(it, "tmin").map(_.toLong).getOrElse(Long.MinValue)))
     val nbuckets = fieldOpt(json, "nbuckets").map(_.toInt).getOrElse(-1)
     Snapshot(
       field(json, "id").toLong, field(json, "parent").toLong,
@@ -227,8 +236,8 @@ object SnapshotTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Per-bucket (rows, watermark, digest) aggregate of a frame that already
-    * carries [[BucketCol]] — the only data scan a commit performs.
+  /** Per-bucket (rows, watermark, digest, tmin) aggregate of a frame that
+    * already carries [[BucketCol]] — the only data scan a commit performs.
     *
     * to_json renders timestamps in the SESSION timezone by default, which
     * would make the same content digest differently across heterogeneously-
@@ -237,23 +246,26 @@ object SnapshotTable {
     *
     * A null entity key fails fast (it would land in a null bucket and
     * corrupt the partition layout); a bucket whose time column is entirely
-    * null gets watermark Long.MinValue ("no completeness claim").
+    * null gets watermark Long.MinValue ("no completeness claim") and tmin
+    * Long.MinValue ("no lower-bound claim").
     */
   private def bucketStats(df: DataFrame, dataCols: Seq[String],
-      timeCol: String): Map[Int, (Long, Long, Long)] = {
+      timeCol: String): Map[Int, (Long, Long, Long, Long)] = {
     val rowHash = xxhash64(to_json(struct(dataCols.sorted.map(col): _*),
       Map("timeZone" -> "UTC").asJava))
     df.withColumn("__h", rowHash)
       .groupBy(col(BucketCol))
       .agg(count(lit(1)).as("rows"), max(col(timeCol)).cast("long").as("wm"),
-        expr("bit_xor(__h)").as("digest"))
+        expr("bit_xor(__h)").as("digest"),
+        min(col(timeCol)).cast("long").as("tmn"))
       .collect()
       .map { r =>
         if (r.isNullAt(0)) throw new IllegalArgumentException(
           "SnapshotTable: the entity column contains nulls — a null key " +
             "has no bucket; filter or recode null entities before commit")
         val wm = if (r.isNullAt(2)) Long.MinValue else r.getLong(2)
-        r.getInt(0) -> ((r.getLong(1), wm, r.getLong(3)))
+        val tmn = if (r.isNullAt(4)) Long.MinValue else r.getLong(4)
+        r.getInt(0) -> ((r.getLong(1), wm, r.getLong(3), tmn))
       }
       .toMap
   }
@@ -352,7 +364,7 @@ object SnapshotTable {
     val df = df0.withColumn(BucketCol, bucketExpr(entityCol, buckets))
     // ONE stats scan of df, reused across optimistic retries (the diff and
     // the changed-bucket write depend on the parent, so those rerun)
-    var man: Map[Int, (Long, Long, Long)] = null
+    var man: Map[Int, (Long, Long, Long, Long)] = null
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       val parent = currentSnapshot(root)
@@ -391,8 +403,12 @@ object SnapshotTable {
       // adding two identical rows (exact duplicates are central to this
       // corpus) would otherwise leave the digest unchanged and silently drop
       // the new rows
-      val changed = man.filter { case (k, fold) =>
-        !parentFolded.get(k).contains(fold)
+      // tmin is deliberately OUTSIDE the equality (folded is (rows, wm,
+      // digest)): a parent slice carried from a pre-tmin manifest would
+      // otherwise never compare equal and the resume path would rewrite it
+      // on every commit
+      val changed = man.filter { case (k, (rows, wm, dg, _)) =>
+        !parentFolded.get(k).contains((rows, wm, dg))
       }.keys.toSeq.sorted
 
       val stage = newStage(root, newId)
@@ -402,9 +418,9 @@ object SnapshotTable {
           .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
       }
 
-      val newBuckets = man.toSeq.sortBy(_._1).flatMap { case (k, (rows, wm, dg)) =>
+      val newBuckets = man.toSeq.sortBy(_._1).flatMap { case (k, (rows, wm, dg, tmn)) =>
         if (changed.contains(k))
-          Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
+          Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg, tmn))
         else parentSlices(k)
       }
       // slices can disagree on schema only if some parent slice was CARRIED
@@ -459,7 +475,7 @@ object SnapshotTable {
     // the delta's slices are PARENT-INDEPENDENT: scanned and staged at most
     // once, then reused verbatim across optimistic retries (only the
     // manifest's id/parent change when a concurrent writer wins a claim)
-    var man: Map[Int, (Long, Long, Long)] = null
+    var man: Map[Int, (Long, Long, Long, Long)] = null
     var deltaSlices: Seq[BucketManifest] = null
     def stageOnce(newIdHint: Long): Unit = if (man == null) {
       man = bucketStats(df, delta.columns.toSeq, timeCol)
@@ -469,8 +485,8 @@ object SnapshotTable {
           val stage = newStage(root, newIdHint)
           df.sortWithinPartitions(col(entityCol), col(timeCol))
             .write.partitionBy(BucketCol).mode("overwrite").parquet(stage.toString)
-          man.toSeq.sortBy(_._1).map { case (k, (rows, wm, dg)) =>
-            BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
+          man.toSeq.sortBy(_._1).map { case (k, (rows, wm, dg, tmn)) =>
+            BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg, tmn)
           }
         }
     }
@@ -603,8 +619,8 @@ object SnapshotTable {
 
           val newBuckets = (bySlices.keySet ++ touched).toSeq.sorted.flatMap { k =>
             if (touched.contains(k))
-              mergedStats.get(k).map { case (rows, wm, dg) =>
-                BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
+              mergedStats.get(k).map { case (rows, wm, dg, tmn) =>
+                BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg, tmn)
               }.toSeq
             else bySlices(k)
           }
@@ -677,12 +693,12 @@ object SnapshotTable {
       val keptStats =
         if (hasData)
           bucketStats(spark.read.parquet(stage.toString), dataCols, p.timeCol)
-        else Map.empty[Int, (Long, Long, Long)]
+        else Map.empty[Int, (Long, Long, Long, Long)]
 
       val newBuckets = bySlices.keySet.toSeq.sorted.flatMap { k =>
         if (touched.contains(k))
-          keptStats.get(k).map { case (rows, wm, dg) =>
-            BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg)
+          keptStats.get(k).map { case (rows, wm, dg, tmn) =>
+            BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg, tmn)
           }.toSeq // empty bucket: gone from the manifest
         else bySlices(k)
       }
@@ -730,7 +746,10 @@ object SnapshotTable {
       val newBuckets = bySlices.toSeq.sortBy(_._1).flatMap { case (k, ss) =>
         if (toCompact.contains(k)) {
           val (rows, wm, dg) = folded(k)
-          Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm, dg))
+          // tmin folds by min — a slice without a claim (MinValue) keeps
+          // the compacted slice claim-free, same conservative semantics
+          Seq(BucketManifest(k, s"${stage.toString}/$BucketCol=$k", rows, wm,
+            dg, ss.map(_.tmin).min))
         } else ss
       }
       // batchId carries over: compaction must not defeat the replay-skip of
@@ -823,20 +842,60 @@ object SnapshotTable {
       .distinct().collect().map(_.getInt(0)).toSet
     readSlices(spark, snap.buckets.filter(b => wanted.contains(b.bucket)),
         snap.mixedSchema)
-      // keys may hash to buckets that never held rows: keep the schema —
-      // from the recorded DDL with zero I/O when available, else a
-      // zero-row read over the table's slices (legacy manifests only)
-      .orElse {
-        if (snap.schemaDdl.nonEmpty) Some(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
-            .add(BucketCol, org.apache.spark.sql.types.IntegerType)))
-        else readSlices(spark, snap.buckets, snap.mixedSchema).map(_.limit(0))
-      } match {
+      // keys may hash to buckets that never held rows: keep the schema
+      .orElse(schemaOnly(spark, snap)) match {
       case Some(df) =>
         conform(df, snap).filter(col(snap.entityCol).isInCollection(keys))
       case None => spark.emptyDataFrame // empty table: no schema to give
     }
+  }
+
+  /** Zero-row frame carrying the table's schema: from the recorded DDL
+    * with zero I/O when available, else a zero-row read over the table's
+    * slices (legacy manifests only). None when the table is empty AND
+    * recorded no schema.
+    */
+  private def schemaOnly(spark: SparkSession, snap: Snapshot): Option[DataFrame] =
+    if (snap.schemaDdl.nonEmpty) Some(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(snap.schemaDdl)
+        .add(BucketCol, org.apache.spark.sql.types.IntegerType)))
+    else readSlices(spark, snap.buckets, snap.mixedSchema).map(_.limit(0))
+
+  /** Time-range read (bounds inclusive, in the long unit the manifests
+    * record): opens ONLY the slices whose stats interval [tmin, watermark]
+    * intersects [from, until] — Iceberg's min/max file skipping, decided
+    * entirely on the manifest with zero data/footer I/O for skipped
+    * slices. A residual row predicate enforces the exact bounds inside
+    * kept slices (and pushes into the parquet scan, so row-group stats
+    * prune within them too). At 10^12 rows a narrow time window over an
+    * append-per-interval history reads a handful of slices instead of the
+    * table; time-bucketed ingestion (e.g. one [[commitDelta]] per hour)
+    * makes the skip rate proportional to history length.
+    *
+    * Rows with a null event time never match a range (SQL comparison
+    * semantics), and slices that make no tmin claim (legacy manifests,
+    * all-null-time slices) are never skipped on the lower bound — pruning
+    * degrades to a scan, correctness is unchanged.
+    */
+  def readRange(spark: SparkSession, root: String, from: Option[Long],
+      until: Option[Long], id: Option[Long] = None): DataFrame = {
+    require(from.nonEmpty || until.nonEmpty,
+      "readRange: at least one bound (from/until) is required — use read() " +
+        "for a full scan")
+    from.zip(until).foreach { case (lo, hi) =>
+      require(lo <= hi, s"readRange: empty interval [$lo, $hi]")
+    }
+    val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
+    val keep = snap.buckets.filter(b =>
+      from.forall(b.watermark >= _) && until.forall(b.tmin <= _))
+    val tc = col(snap.timeCol).cast("long")
+    val pred = (from.map(tc >= _) ++ until.map(tc <= _)).reduce(_ && _)
+    readSlices(spark, keep, snap.mixedSchema)
+      .orElse(schemaOnly(spark, snap))
+      .map(df => conform(df, snap).filter(pred))
+      .getOrElse(spark.emptyDataFrame) // empty table: no schema to give
   }
 
   /** Read ONLY the rows appended between `fromId` (exclusive) and `toId`
@@ -959,10 +1018,11 @@ object SnapshotTable {
   }
 
   /** Per-partition lineage across ALL snapshots as a queryable DataFrame
-    * (snapshot_id, parent_id, bucket, dir, rows, watermark, digest,
+    * (snapshot_id, parent_id, bucket, dir, rows, watermark, digest, tmin,
     * is_current) — the "work table over table metadata" surface (SURVEY.md
     * §2.1 S9): incremental jobs diff `rows`/`digest` between snapshot ids to
-    * find what changed without touching data files.
+    * find what changed without touching data files; `[tmin, watermark]` is
+    * the slice interval [[readRange]] skips on.
     */
   def lineage(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
@@ -979,9 +1039,9 @@ object SnapshotTable {
       }
     snaps.sortBy(_.id)
       .flatMap(s => s.buckets.map(b => (s.id, s.parent, b.bucket, b.dir,
-        b.rows, b.watermark, b.digest, cur.contains(s.id))))
+        b.rows, b.watermark, b.digest, b.tmin, cur.contains(s.id))))
       .toDF("snapshot_id", "parent_id", "bucket", "dir", "rows", "watermark",
-        "digest", "is_current")
+        "digest", "tmin", "is_current")
   }
 
   /** Global watermark of a snapshot = min over buckets of each bucket's

@@ -717,4 +717,124 @@ class SnapshotTableSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("key columns"))
   }
+
+  /** Time-chunked three-slice table for the readRange suite: event_ms
+    * 0..899, chunk boundaries at 300 and 600, 4 buckets. Returns (root, df).
+    */
+  private def rangeTable(tag: String): (String, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val root = tmpRoot(tag)
+    val df = (0L until 900L).map(i => (s"e${i % 30}", i, s"v$i"))
+      .toDF("entity_id", "event_ms", "v")
+    SnapshotTable.commit(df.filter(col("event_ms") < 300),
+      root, "entity_id", "event_ms", buckets = 4)
+    SnapshotTable.commitDelta(
+      df.filter(col("event_ms") >= 300 && col("event_ms") < 600),
+      root, "entity_id", "event_ms", buckets = 4)
+    SnapshotTable.commitDelta(df.filter(col("event_ms") >= 600),
+      root, "entity_id", "event_ms", buckets = 4)
+    (root, df)
+  }
+
+  /** Stage dirs (parents of slice dirs) NEW in snapshot `id` vs its parent. */
+  private def stageOf(root: String, id: Long): Set[String] = {
+    val s = SnapshotTable.snapshot(root, id)
+    val parent =
+      if (s.parent < 0) Set.empty[String]
+      else SnapshotTable.snapshot(root, s.parent).buckets.map(_.dir).toSet
+    s.buckets.map(_.dir).filterNot(parent.contains)
+      .map(d => Paths.get(d).getParent.toString).toSet
+  }
+
+  test("readRange: equals the full-scan predicate and OPENS only overlapping slices") {
+    val (root, df) = rangeTable("rng")
+    // [350, 449] lies fully inside the middle chunk
+    val got = SnapshotTable.readRange(spark, root, Some(350L), Some(449L))
+      .drop(SnapshotTable.BucketCol)
+    val want = df.filter(col("event_ms").between(350, 449))
+    assert(got.count() == 100)
+    assert(digestOf(got.select(df.columns.map(col): _*)) == digestOf(want))
+    // manifest-level skipping: every file in the PLAN comes from the middle
+    // chunk's stage; the base and top chunks are never opened (inputFiles is
+    // the planned scan set — this asserts the skip happened at the manifest,
+    // not via parquet row-group stats after opening footers)
+    val midStages = stageOf(root, 1L)
+    val others = stageOf(root, 0L) ++ stageOf(root, 2L)
+    val files = got.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall(f => midStages.exists(f.contains) && !others.exists(f.contains)),
+      s"scan leaked outside the overlapping slices: $files")
+
+    // open-ended lower bound: chunks 1+2 skipped entirely
+    val tail = SnapshotTable.readRange(spark, root, Some(600L), None)
+    assert(tail.count() == 300)
+    assert(tail.inputFiles.forall(f => stageOf(root, 2L).exists(f.contains)))
+    // open-ended upper bound at the head slice
+    assert(SnapshotTable.readRange(spark, root, None, Some(299L)).count() == 300)
+    // bound rails
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readRange(spark, root, None, None)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readRange(spark, root, Some(5L), Some(4L))
+    }
+    // a range nothing overlaps: zero slices opened, schema kept
+    val none = SnapshotTable.readRange(spark, root, Some(2000L), Some(3000L))
+    assert(none.isEmpty && none.columns.contains("event_ms"))
+    assert(none.inputFiles.isEmpty)
+  }
+
+  test("readRange: legacy manifests without tmin stay readable, prune only on watermark") {
+    val (root, df) = rangeTable("rnglegacy")
+    // strip the tmin field from every manifest = the pre-range format
+    Seq(0L, 1L, 2L).foreach { id =>
+      val p = Paths.get(root, "snapshots", s"v$id.json")
+      Files.writeString(p,
+        Files.readString(p).replaceAll(""","tmin":-?\d+""", ""))
+    }
+    assert(SnapshotTable.snapshot(root, 2L).buckets.forall(_.tmin == Long.MinValue))
+    // correctness unchanged (no lower-bound claim -> no skip on it)...
+    val got = SnapshotTable.readRange(spark, root, Some(350L), Some(449L))
+    assert(got.count() == 100)
+    // ...and the WATERMARK side still prunes: chunks whose max < from skip
+    val tail = SnapshotTable.readRange(spark, root, Some(600L), None)
+    assert(tail.count() == 300)
+    assert(tail.inputFiles.forall(f => stageOf(root, 2L).exists(f.contains)))
+  }
+
+  test("readRange: all-null-time slices make no claim and match no range") {
+    import spark.implicits._
+    val root = tmpRoot("rngnull")
+    val nulls = Seq(("a", Option.empty[Long], "x"), ("b", Option.empty[Long], "y"))
+      .toDF("entity_id", "event_ms", "v")
+    val timed = Seq(("c", Option(100L), "z")).toDF("entity_id", "event_ms", "v")
+    SnapshotTable.commit(nulls, root, "entity_id", "event_ms", buckets = 2)
+    SnapshotTable.commitDelta(timed, root, "entity_id", "event_ms", buckets = 2)
+    // lower-bounded: the null slice is skipped via watermark = MinValue
+    val lo = SnapshotTable.readRange(spark, root, Some(0L), None)
+    assert(lo.count() == 1)
+    // upper-bounded only: the null slice cannot be skipped (tmin MinValue =
+    // no claim) but null event times never satisfy the residual predicate
+    val hi = SnapshotTable.readRange(spark, root, None, Some(200L))
+    assert(hi.count() == 1)
+  }
+
+  test("compact folds tmin by min; range reads stay exact across compaction") {
+    val (root, df) = rangeTable("rngcomp")
+    val pre = SnapshotTable.currentSnapshot(root).get
+    val id = SnapshotTable.compact(spark, root, maxSlices = 1)
+    val s = SnapshotTable.snapshot(root, id)
+    // every compacted bucket's interval is the fold of its old slices
+    val preBy = pre.buckets.groupBy(_.bucket)
+    s.buckets.groupBy(_.bucket).foreach { case (k, ss) =>
+      assert(ss.size == 1)
+      assert(ss.head.tmin == preBy(k).map(_.tmin).min)
+      assert(ss.head.watermark == preBy(k).map(_.watermark).max)
+    }
+    val got = SnapshotTable.readRange(spark, root, Some(350L), Some(449L))
+      .drop(SnapshotTable.BucketCol)
+    assert(got.count() == 100)
+    assert(digestOf(got.select(df.columns.map(col): _*)) ==
+      digestOf(df.filter(col("event_ms").between(350, 449))))
+  }
 }
