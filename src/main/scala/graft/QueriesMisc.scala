@@ -148,6 +148,28 @@ object QueriesMisc {
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
 
+    // ---- S2 windowed point lookup: bucket ∩ time-interval pruning -----------
+    // same time-chunked table shape as s2_range_read, then a key-list fetch
+    // restricted to a window — the point-in-time feature-store read (both
+    // prunes compose; the slice-skip itself is inputFiles-asserted in
+    // SnapshotTableSpec, the semantics here)
+    "s2_point_lookup_window" -> ((s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-snap-ptw").toString
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          col("doc_id").cast("long").as("ts"))
+      graft.tables.SnapshotTable.commit(
+        docs.where(col("doc_id") < 12), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") >= 12 && col("doc_id") < 36), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.commitDelta(
+        docs.where(col("doc_id") >= 36), root, "doc_id", "ts")
+      graft.tables.SnapshotTable.readEntities[Long](s, root,
+          Seq(1L, 7L, 16L, 23L, 42L), from = Some(5L), until = Some(30L))
+        .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    }),
+
     // ---- S2 additive schema evolution ---------------------------------------
     // base commit without `source`, evolved append WITH it (Iceberg's
     // add-column): read-back must show null for pre-evolution rows and the
@@ -279,6 +301,9 @@ object QueriesMisc {
     "s2_range_read" ->
       """SELECT doc_id, lang, length(text) AS text_len FROM documents
          WHERE doc_id BETWEEN 10 AND 35""",
+    "s2_point_lookup_window" ->
+      """SELECT doc_id, lang, length(text) AS text_len FROM documents
+         WHERE doc_id IN (1, 7, 16, 23, 42) AND doc_id BETWEEN 5 AND 30""",
     "s2_schema_evolution" ->
       """SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id % 2 = 0
          UNION ALL

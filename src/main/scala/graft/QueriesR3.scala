@@ -102,6 +102,9 @@ object QueriesR3 {
           col("n_predicted"),
           round(col("sensitivity") + 1e-7, 4).as("sensitivity"),
           round(col("specificity") + 1e-7, 4).as("specificity"),
+          round(col("precision") + 1e-7, 4).as("precision"),
+          round(col("f1") + 1e-7, 4).as("f1"),
+          round(col("balanced_accuracy") + 1e-7, 4).as("balanced_accuracy"),
           round(col("accuracy") + 1e-7, 4).as("accuracy"),
           round(col("kappa") + 1e-7, 4).as("kappa"))),
 
@@ -250,6 +253,14 @@ object QueriesR3 {
             round(CASE WHEN ntot > n_actual
               THEN (ntot - n_actual - n_predicted + tp)
                 / CAST(ntot - n_actual AS DOUBLE) END + 1e-7, 4) AS specificity,
+            round(CASE WHEN n_predicted > 0
+              THEN tp / CAST(n_predicted AS DOUBLE) END + 1e-7, 4) AS precision,
+            round(2.0 * tp / CAST(n_actual + n_predicted AS DOUBLE) + 1e-7, 4) AS f1,
+            round(CASE WHEN n_actual > 0 AND ntot > n_actual
+              THEN (tp / CAST(n_actual AS DOUBLE)
+                + (ntot - n_actual - n_predicted + tp)
+                  / CAST(ntot - n_actual AS DOUBLE)) / 2 END + 1e-7, 4)
+              AS balanced_accuracy,
             round(diag / CAST(ntot AS DOUBLE) + 1e-7, 4) AS accuracy,
             round((diag / CAST(ntot AS DOUBLE) - pe) / (1.0 - pe) + 1e-7, 4) AS kappa
           FROM k""",

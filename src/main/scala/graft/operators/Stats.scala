@@ -555,7 +555,12 @@ object Stats {
     * sensitivity/specificity ("Statistics by Class") plus the group-level
     * overall accuracy and multi-class Cohen's kappa
     * (po = sum_k tp_k / n, pe = sum_k n_actual_k·n_predicted_k / n²,
-    * kappa = (po − pe)/(1 − pe)) repeated on each class row.
+    * kappa = (po − pe)/(1 − pe)) repeated on each class row. Also caret's
+    * remaining by-class columns: precision (pos pred value, null when the
+    * class is never predicted — caret's NA), f1 (= 2·tp/(n_actual +
+    * n_predicted), the harmonic mean written without the P/R intermediate
+    * so tp = 0 gives 0 rather than a 0/0), and balanced_accuracy
+    * ((sensitivity + specificity)/2, null-propagating like caret's NA).
     *
     * Scale shape: ONE map-side-combinable aggregation over the fact table
     * (k² cells per group); everything after operates on cell counts —
@@ -596,6 +601,12 @@ object Stats {
         when(col("__ntot") > col("n_actual"),
           (col("__ntot") - col("n_actual") - col("n_predicted") + col("tp")) /
             (col("__ntot") - col("n_actual")).cast("double")))
+      .withColumn("precision",
+        when(col("n_predicted") > 0, col("tp") / col("n_predicted").cast("double")))
+      .withColumn("f1",
+        lit(2.0) * col("tp") / (col("n_actual") + col("n_predicted")).cast("double"))
+      .withColumn("balanced_accuracy",
+        (col("sensitivity") + col("specificity")) / 2.0)
       .withColumn("accuracy", po)
       .withColumn("kappa", (po - pe) / (lit(1.0) - pe))
       .drop("__ntot", "__diag")

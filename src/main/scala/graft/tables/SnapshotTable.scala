@@ -822,12 +822,23 @@ object SnapshotTable {
     * rows a single-entity lookup reads 1/nbuckets of the data instead of
     * scanning the table; the bucket ids come from the same hash expression
     * commits use, evaluated in a tiny local job over the key list.
+    *
+    * `from`/`until` (inclusive, [[readRange]]'s semantics) additionally
+    * skip slices whose [tmin, watermark] interval misses the window — the
+    * point-in-time feature fetch ("these entities' events in this time
+    * window") prunes on bucket AND interval simultaneously, so under
+    * time-chunked ingestion it opens O(|keys|/nbuckets × window/history)
+    * of the table's slices.
     */
   def readEntities[T](spark: SparkSession, root: String, keys: Seq[T],
-      id: Option[Long] = None)(
+      id: Option[Long] = None, from: Option[Long] = None,
+      until: Option[Long] = None)(
       implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     require(keys.nonEmpty && !keys.contains(null.asInstanceOf[T]),
       "readEntities: keys must be a non-empty, null-free list")
+    from.zip(until).foreach { case (lo, hi) =>
+      require(lo <= hi, s"readEntities: empty interval [$lo, $hi]")
+    }
     val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
     require(snap.nbuckets > 0,
@@ -840,12 +851,16 @@ object SnapshotTable {
     val wanted = keyDf
       .select(bucketExpr(snap.entityCol, snap.nbuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    readSlices(spark, snap.buckets.filter(b => wanted.contains(b.bucket)),
-        snap.mixedSchema)
+    val keep = snap.buckets.filter(b => wanted.contains(b.bucket) &&
+      from.forall(b.watermark >= _) && until.forall(b.tmin <= _))
+    readSlices(spark, keep, snap.mixedSchema)
       // keys may hash to buckets that never held rows: keep the schema
       .orElse(schemaOnly(spark, snap)) match {
       case Some(df) =>
-        conform(df, snap).filter(col(snap.entityCol).isInCollection(keys))
+        val tc = col(snap.timeCol).cast("long")
+        val pred = (Seq(col(snap.entityCol).isInCollection(keys)) ++
+          from.map(tc >= _) ++ until.map(tc <= _)).reduce(_ && _)
+        conform(df, snap).filter(pred)
       case None => spark.emptyDataFrame // empty table: no schema to give
     }
   }

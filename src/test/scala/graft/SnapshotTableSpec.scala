@@ -819,6 +819,36 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(hi.count() == 1)
   }
 
+  test("readEntities with a time window prunes on bucket AND slice interval") {
+    import spark.implicits._
+    val (root, df) = rangeTable("rngent")
+    val keys = Seq("e5", "e17")
+    val got = SnapshotTable
+      .readEntities[String](spark, root, keys, from = Some(350L), until = Some(449L))
+      .drop(SnapshotTable.BucketCol)
+    val want = df.filter(col("entity_id").isInCollection(keys) &&
+      col("event_ms").between(350, 449))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(digestOf(got.select(df.columns.map(col): _*)) == digestOf(want))
+    // the plan must touch ONLY the middle chunk's stage (interval prune)
+    // AND only the keys' bucket dirs within it (bucket prune)
+    val wantedBuckets = spark.range(1).select(
+        explode(array(keys.map(k =>
+          pmod(xxhash64(lit(k)), lit(4)).cast("int")): _*)))
+      .collect().map(_.getInt(0)).toSet
+    val midStages = stageOf(root, 1L)
+    val files = got.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall(f => midStages.exists(f.contains) &&
+      wantedBuckets.exists(b => f.contains(s"${SnapshotTable.BucketCol}=$b"))),
+      s"scan leaked outside bucket∩interval: $files")
+    // degenerate window rail
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readEntities[String](spark, root, keys,
+        from = Some(5L), until = Some(4L))
+    }
+  }
+
   test("compact folds tmin by min; range reads stay exact across compaction") {
     val (root, df) = rangeTable("rngcomp")
     val pre = SnapshotTable.currentSnapshot(root).get

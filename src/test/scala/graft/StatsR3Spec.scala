@@ -123,6 +123,13 @@ class StatsR3Spec extends AnyFunSuite {
       assert(math.abs(d(cls, "accuracy") - 22.0 / 30) < 1e-12)
       assert(math.abs(d(cls, "kappa") - 88.0 / 148) < 1e-12)
     }
+    // caret's remaining by-class columns
+    assert(math.abs(d("A", "precision") - 10.0 / 11) < 1e-12)
+    assert(math.abs(d("B", "precision") - 7.0 / 12) < 1e-12)
+    assert(math.abs(d("A", "f1") - 20.0 / 23) < 1e-12) // 2*10/(12+11)
+    assert(math.abs(d("C", "f1") - 2.0 / 3) < 1e-12)   // 2*5/(8+7)
+    assert(math.abs(d("A", "balanced_accuracy") - (10.0 / 12 + 17.0 / 18) / 2) < 1e-12)
+    assert(math.abs(d("B", "balanced_accuracy") - 0.725) < 1e-12)
   }
 
   test("confusionMulti: predicted-only class joins the roster with null sensitivity") {
@@ -138,6 +145,11 @@ class StatsR3Spec extends AnyFunSuite {
     assert(dRow.isNullAt(dRow.fieldIndex("sensitivity")))
     // specificity of the never-actual class = TN/(TN+FP) = 3/4
     assert(math.abs(dRow.getAs[Double]("specificity") - 0.75) < 1e-12)
+    // predicted-but-never-actual: precision and f1 are an honest 0, not NaN;
+    // balanced accuracy null-propagates from the undefined sensitivity
+    assert(dRow.getAs[Double]("precision") == 0.0)
+    assert(dRow.getAs[Double]("f1") == 0.0)
+    assert(dRow.isNullAt(dRow.fieldIndex("balanced_accuracy")))
   }
 
   test("zRmse equals rmse divided by the train-only sigma of obs") {
