@@ -46,7 +46,8 @@ object GraftExtensions {
     "graft_quality" -> col1(c => Text.qualityScore(c, Corpus.Stopwords)),
     "graft_stopword_ratio" -> col1(c => Text.stopwordRatio(c, Corpus.Stopwords)),
     "graft_dup_word_frac" -> col1(Text.dupWordFrac),
-    "graft_top_bigram_frac" -> col1(Text.topBigramFrac))
+    "graft_top_bigram_frac" -> col1(Text.topBigramFrac),
+    "graft_signif" -> col1(graft.operators.Stats.significance))
 
   /** Register the same functions into an already-built session. */
   def registerAll(spark: SparkSession): Unit =

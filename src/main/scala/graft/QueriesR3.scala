@@ -108,6 +108,30 @@ object QueriesR3 {
           round(col("accuracy") + 1e-7, 4).as("accuracy"),
           round(col("kappa") + 1e-7, 4).as("kappa"))),
 
+    // ---- A13 multiple testing: p.adjust (bonferroni/holm/BH) + stars -------
+    // the reference sweeps per-drug wilcox tests and feeds them through
+    // adjust_pvalue/add_significance (Fig-2C_D_plot_univariate.R:144-145);
+    // here the family is lang, the raw p a deterministic grid both engines
+    // derive identically, and all three adjustments + the rstatix star
+    // labels are replayed in SQL windows
+    "a13_p_adjust" -> ((s, d) => {
+      val t0 = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          ((col("doc_id") * 7919 % 1000) + 1).cast("double")./(1000.0)
+            .as("p_raw"))
+      val adj = Seq(("BH", "p_bh"), ("holm", "p_holm"),
+          ("bonferroni", "p_bonf"))
+        .foldLeft(t0) { case (df, (m, c)) =>
+          Stats.adjustPValues(df, Seq("lang"), "p_raw", m, c) }
+      adj.withColumn("signif", Stats.significance(col("p_raw")))
+        .select(col("doc_id"), col("lang"),
+          round(col("p_raw") + 1e-7, 4).as("p_raw"),
+          round(col("p_bh") + 1e-7, 4).as("p_bh"),
+          round(col("p_holm") + 1e-7, 4).as("p_holm"),
+          round(col("p_bonf") + 1e-7, 4).as("p_bonf"),
+          col("signif"))
+    }),
+
     // ---- A9 variant: z-normalized RMSE (train-only scaling of both sides) --
     "a9_zrmse" -> ((s, d) =>
       Stats.zRmse(
@@ -264,6 +288,28 @@ object QueriesR3 {
             round(diag / CAST(ntot AS DOUBLE) + 1e-7, 4) AS accuracy,
             round((diag / CAST(ntot AS DOUBLE) - pe) / (1.0 - pe) + 1e-7, 4) AS kappa
           FROM k""",
+    "a13_p_adjust" ->
+      """WITH t AS (SELECT doc_id, lang,
+            ((doc_id * 7919) % 1000 + 1) / 1000.0 AS p_raw FROM documents),
+          w AS (SELECT doc_id, lang, p_raw,
+            count(*) OVER (PARTITION BY lang) AS m,
+            row_number() OVER (PARTITION BY lang ORDER BY p_raw DESC, doc_id) AS rd,
+            row_number() OVER (PARTITION BY lang ORDER BY p_raw ASC, doc_id) AS ra
+            FROM t),
+          a AS (SELECT *,
+            min(p_raw * m / (m - rd + 1)) OVER (PARTITION BY lang
+              ORDER BY p_raw DESC, doc_id ROWS UNBOUNDED PRECEDING) AS bh0,
+            max((m - ra + 1) * p_raw) OVER (PARTITION BY lang
+              ORDER BY p_raw ASC, doc_id ROWS UNBOUNDED PRECEDING) AS holm0
+            FROM w)
+          SELECT doc_id, lang, round(p_raw + 1e-7, 4) AS p_raw,
+            round(least(1.0, bh0) + 1e-7, 4) AS p_bh,
+            round(least(1.0, holm0) + 1e-7, 4) AS p_holm,
+            round(least(1.0, p_raw * m) + 1e-7, 4) AS p_bonf,
+            CASE WHEN p_raw <= 0.0001 THEN '****' WHEN p_raw <= 0.001 THEN '***'
+                 WHEN p_raw <= 0.01 THEN '**' WHEN p_raw <= 0.05 THEN '*'
+                 ELSE 'ns' END AS signif
+          FROM a""",
     "a9_zrmse" ->
       """WITH t AS (SELECT l_returnflag,
             l_quantity * (1.0 - l_discount) AS pred, l_quantity AS obs,

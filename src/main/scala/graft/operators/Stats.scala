@@ -612,6 +612,66 @@ object Stats {
       .drop("__ntot", "__diag")
   }
 
+  /** rstatix `add_significance` star labels (the reference annotates every
+    * wilcox p with them, `Fig-2C_D_plot_univariate.R:87,145`): **** ≤ 1e-4,
+    * *** ≤ 1e-3, ** ≤ 0.01, * ≤ 0.05, ns otherwise. Null p → null.
+    */
+  def significance(p: Column): Column =
+    when(p.isNull, lit(null).cast("string"))
+      .when(p <= 1e-4, "****").when(p <= 1e-3, "***")
+      .when(p <= 0.01, "**").when(p <= 0.05, "*")
+      .otherwise("ns")
+
+  /** Multiple-testing adjustment of a p-value column within each `family`
+    * — R's `p.adjust` semantics (the reference's per-drug wilcox sweep
+    * calls `adjust_pvalue(method = "bonferroni")`,
+    * `Fig-2C_D_plot_univariate.R:144`), for the three standard methods:
+    *
+    *  - `bonferroni`: min(1, m·p) — pure column arithmetic;
+    *  - `holm` (step-down): sort ascending, running MAX of (m−i+1)·p_(i);
+    *  - `BH`/`fdr` (step-up): sort descending, running MIN of m/i·p_(i) —
+    *    both one window over the family, capped at 1. Tied p-values
+    *    converge to R's value by the running-extreme construction
+    *    regardless of tiebreak order.
+    *
+    * Scale shape: families are statistical (one row per already-aggregated
+    * test), so the window sorts test RESULTS, never fact rows; m comes
+    * from the same window (no extra shuffle — count over the family frame
+    * shares the partition).
+    */
+  def adjustPValues(df: DataFrame, family: Seq[String], p: String,
+      method: String = "BH", as: String = "p_adj"): DataFrame = {
+    val fam = Window.partitionBy(family.map(col): _*)
+    method.toLowerCase match {
+      case "bonferroni" =>
+        df.withColumn(as,
+          least(lit(1.0), col(p) * count(lit(1)).over(fam).cast("double")))
+      case "holm" =>
+        // rank first, THEN the running extreme over the same ordered window
+        // (a window expression cannot nest inside another); both fold into
+        // one WindowExec — same partition, same order
+        val wAsc = fam.orderBy(col(p).asc)
+        df.withColumn("__m", count(lit(1)).over(fam).cast("double"))
+          .withColumn("__w",
+            (col("__m") - row_number().over(wAsc) + 1) * col(p))
+          .withColumn(as, least(lit(1.0), max(col("__w")).over(
+            wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .drop("__m", "__w")
+      case "bh" | "fdr" =>
+        // ascending rank i = m - r + 1 under the p-DESCENDING order; adj =
+        // running min of m/i·p from the largest p down (R's cummin)
+        val wDesc = fam.orderBy(col(p).desc)
+        df.withColumn("__m", count(lit(1)).over(fam).cast("double"))
+          .withColumn("__w",
+            col(p) * col("__m") / (col("__m") - row_number().over(wDesc) + 1))
+          .withColumn(as, least(lit(1.0), min(col("__w")).over(
+            wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .drop("__m", "__w")
+      case other => throw new IllegalArgumentException(
+        s"adjustPValues: unknown method '$other' (bonferroni | holm | BH)")
+    }
+  }
+
   /** z-normalized error metrics (`az_ml_make_table.R:30-36`): both pred and
     * obs standardized with the TRAIN-only distribution of obs (leakage-safe,
     * same contract as [[zscoreTrainOnly]]), then [[errorMetrics]] over the

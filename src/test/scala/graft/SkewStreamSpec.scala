@@ -97,7 +97,8 @@ class SkewStreamSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       """SELECT graft_fingerprint(caption) AS fp, graft_lang_id(caption) AS lid,
          graft_token_count(caption) AS tc, graft_quality(caption) AS q,
-         graft_dup_word_frac(caption) AS dwf, graft_top_bigram_frac(caption) AS tbf
+         graft_dup_word_frac(caption) AS dwf, graft_top_bigram_frac(caption) AS tbf,
+         graft_signif(graft_quality(caption)) AS sg
          FROM ext_docs""").collect()
     val viaCol = spark.table("ext_docs").select(
       graft.functions.Text.fingerprint(col("caption")).as("fp"),
@@ -105,7 +106,9 @@ class SkewStreamSpec extends AnyFunSuite {
       graft.functions.Text.tokenCount(col("caption")).cast("long").as("tc"),
       graft.functions.Text.qualityScore(col("caption"), Corpus.Stopwords).as("q"),
       graft.functions.Text.dupWordFrac(col("caption")).as("dwf"),
-      graft.functions.Text.topBigramFrac(col("caption")).as("tbf"))
+      graft.functions.Text.topBigramFrac(col("caption")).as("tbf"),
+      graft.operators.Stats.significance(
+        graft.functions.Text.qualityScore(col("caption"), Corpus.Stopwords)).as("sg"))
       .collect()
     assert(viaSql.map(_.toSeq).toSeq == viaCol.map(_.toSeq).toSeq)
   }

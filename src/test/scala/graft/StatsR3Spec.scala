@@ -262,4 +262,36 @@ class StatsR3Spec extends AnyFunSuite {
     val ok = Stats.kendall(df, Seq("grp"), "x", "y", maxGroup = 10000).head()
     assert(ok.getAs[Double]("kendall_tau") == 1.0)
   }
+
+  test("adjustPValues matches R's p.adjust; significance matches rstatix stars") {
+    val df = Seq(("g", 1, 0.01), ("g", 2, 0.02), ("g", 3, 0.02), ("g", 4, 0.30))
+      .toDF("fam", "id", "p")
+    def vals(m: String): Map[Int, Double] =
+      Stats.adjustPValues(df, Seq("fam"), "p", m).collect()
+        .map(r => r.getAs[Int]("id") -> r.getAs[Double]("p_adj")).toMap
+    // R: p.adjust(c(.01,.02,.02,.3), "bonferroni") = 0.04 0.08 0.08 1.00
+    val bonf = vals("bonferroni")
+    assert(math.abs(bonf(1) - 0.04) < 1e-12 && math.abs(bonf(2) - 0.08) < 1e-12
+      && bonf(4) == 1.0)
+    // R: "holm" = 0.04 0.06 0.06 0.30 (step-down cummax)
+    val holm = vals("holm")
+    assert(math.abs(holm(1) - 0.04) < 1e-12)
+    assert(math.abs(holm(2) - 0.06) < 1e-12 && math.abs(holm(3) - 0.06) < 1e-12)
+    assert(math.abs(holm(4) - 0.30) < 1e-12)
+    // R: "BH" = 0.02666667 0.02666667 0.02666667 0.30 (step-up cummin —
+    // the tied 0.02s converge to the same value whatever the tiebreak)
+    val bh = vals("BH")
+    Seq(1, 2, 3).foreach(i => assert(math.abs(bh(i) - 0.08 / 3) < 1e-12))
+    assert(math.abs(bh(4) - 0.30) < 1e-12)
+    // families adjust independently (a singleton family is its own m = 1)
+    val two = df.unionByName(Seq(("h", 9, 0.04)).toDF("fam", "id", "p"))
+    assert(Stats.adjustPValues(two, Seq("fam"), "p", "BH")
+      .where(col("id") === 9).head.getAs[Double]("p_adj") == 0.04)
+    intercept[IllegalArgumentException](
+      Stats.adjustPValues(df, Seq("fam"), "p", "hochberg"))
+    // rstatix add_significance cutpoints
+    val stars = Seq(0.00005, 0.0005, 0.005, 0.04, 0.2).toDF("p")
+      .select(Stats.significance(col("p")).as("s")).collect().map(_.getString(0))
+    assert(stars.toSeq == Seq("****", "***", "**", "*", "ns"))
+  }
 }
