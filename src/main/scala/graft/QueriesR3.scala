@@ -120,7 +120,7 @@ object QueriesR3 {
           ((col("doc_id") * 7919 % 1000) + 1).cast("double")./(1000.0)
             .as("p_raw"))
       val adj = Seq(("BH", "p_bh"), ("holm", "p_holm"),
-          ("bonferroni", "p_bonf"))
+          ("bonferroni", "p_bonf"), ("hochberg", "p_hoch"), ("BY", "p_by"))
         .foldLeft(t0) { case (df, (m, c)) =>
           Stats.adjustPValues(df, Seq("lang"), "p_raw", m, c) }
       adj.withColumn("signif", Stats.significance(col("p_raw")))
@@ -129,6 +129,8 @@ object QueriesR3 {
           round(col("p_bh") + 1e-7, 4).as("p_bh"),
           round(col("p_holm") + 1e-7, 4).as("p_holm"),
           round(col("p_bonf") + 1e-7, 4).as("p_bonf"),
+          round(col("p_hoch") + 1e-7, 4).as("p_hoch"),
+          round(col("p_by") + 1e-7, 4).as("p_by"),
           col("signif"))
     }),
 
@@ -300,12 +302,17 @@ object QueriesR3 {
             min(p_raw * m / (m - rd + 1)) OVER (PARTITION BY lang
               ORDER BY p_raw DESC, doc_id ROWS UNBOUNDED PRECEDING) AS bh0,
             max((m - ra + 1) * p_raw) OVER (PARTITION BY lang
-              ORDER BY p_raw ASC, doc_id ROWS UNBOUNDED PRECEDING) AS holm0
+              ORDER BY p_raw ASC, doc_id ROWS UNBOUNDED PRECEDING) AS holm0,
+            min(rd * p_raw) OVER (PARTITION BY lang
+              ORDER BY p_raw DESC, doc_id ROWS UNBOUNDED PRECEDING) AS hoch0,
+            sum(1.0 / ra) OVER (PARTITION BY lang) AS cm
             FROM w)
           SELECT doc_id, lang, round(p_raw + 1e-7, 4) AS p_raw,
             round(least(1.0, bh0) + 1e-7, 4) AS p_bh,
             round(least(1.0, holm0) + 1e-7, 4) AS p_holm,
             round(least(1.0, p_raw * m) + 1e-7, 4) AS p_bonf,
+            round(least(1.0, hoch0) + 1e-7, 4) AS p_hoch,
+            round(least(1.0, cm * bh0) + 1e-7, 4) AS p_by,
             CASE WHEN p_raw <= 0.0001 THEN '****' WHEN p_raw <= 0.001 THEN '***'
                  WHEN p_raw <= 0.01 THEN '**' WHEN p_raw <= 0.05 THEN '*'
                  ELSE 'ns' END AS signif

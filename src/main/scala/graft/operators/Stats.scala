@@ -629,10 +629,22 @@ object Stats {
     *
     *  - `bonferroni`: min(1, m·p) — pure column arithmetic;
     *  - `holm` (step-down): sort ascending, running MAX of (m−i+1)·p_(i);
-    *  - `BH`/`fdr` (step-up): sort descending, running MIN of m/i·p_(i) —
-    *    both one window over the family, capped at 1. Tied p-values
-    *    converge to R's value by the running-extreme construction
-    *    regardless of tiebreak order.
+    *  - `hochberg` (step-up twin): sort descending, running MIN of
+    *    (m−i+1)·p_(i) — under the descending order that weight is just the
+    *    descending row number;
+    *  - `BH`/`fdr` (step-up): sort descending, running MIN of m/i·p_(i);
+    *  - `BY`: BH under arbitrary dependence — the same running min scaled
+    *    by the family's harmonic number c(m)=Σ1/i (cummin commutes with a
+    *    positive constant, so the scale applies after; c(m) is a Σ1/rank
+    *    window sum over the family, rank-order-invariant);
+    *  - `none`: the identity, for parity with R's call surface.
+    *
+    * All ordered methods are one window over the family, capped at 1.
+    * Tied p-values converge to R's value by the running-extreme
+    * construction regardless of tiebreak order. `hommel` is deliberately
+    * not offered: its closed-testing loop is O(m²) per family and not
+    * window-expressible; R itself documents hochberg as the near-identical
+    * (slightly conservative) substitute under the same validity condition.
     *
     * Scale shape: families are statistical (one row per already-aggregated
     * test), so the window sorts test RESULTS, never fact rows; m comes
@@ -667,8 +679,32 @@ object Stats {
           .withColumn(as, least(lit(1.0), min(col("__w")).over(
             wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
           .drop("__m", "__w")
+      case "hochberg" =>
+        // (m−i+1) under the descending order IS the descending row number
+        val wDesc = fam.orderBy(col(p).desc)
+        df.withColumn("__w", row_number().over(wDesc) * col(p))
+          .withColumn(as, least(lit(1.0), min(col("__w")).over(
+            wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .drop("__w")
+      case "by" =>
+        // BH's running min times c(m)=Σ1/i; the harmonic sum is Σ1/rank
+        // over the family — any rank permutation sums the same, so the
+        // descending row number serves both roles
+        val wDesc = fam.orderBy(col(p).desc)
+        df.withColumn("__m", count(lit(1)).over(fam).cast("double"))
+          .withColumn("__r", row_number().over(wDesc).cast("double"))
+          .withColumn("__c", sum(lit(1.0) / col("__r")).over(fam))
+          .withColumn("__w",
+            col(p) * col("__m") / (col("__m") - col("__r") + 1))
+          .withColumn(as, least(lit(1.0), col("__c") * min(col("__w")).over(
+            wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+          .drop("__m", "__r", "__c", "__w")
+      case "none" =>
+        df.withColumn(as, col(p).cast("double"))
       case other => throw new IllegalArgumentException(
-        s"adjustPValues: unknown method '$other' (bonferroni | holm | BH)")
+        s"adjustPValues: unknown method '$other' " +
+          "(bonferroni | holm | hochberg | BH/fdr | BY | none; hommel is " +
+          "deliberately unsupported — O(m²) closed testing, use hochberg)")
     }
   }
 

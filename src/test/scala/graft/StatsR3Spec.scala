@@ -283,12 +283,25 @@ class StatsR3Spec extends AnyFunSuite {
     val bh = vals("BH")
     Seq(1, 2, 3).foreach(i => assert(math.abs(bh(i) - 0.08 / 3) < 1e-12))
     assert(math.abs(bh(4) - 0.30) < 1e-12)
+    // R: "hochberg" = 0.04 0.04 0.04 0.30 (step-up cummin of (m-i+1)p —
+    // tighter than holm's 0.06 on the tied pair, never above it)
+    val hoch = vals("hochberg")
+    Seq(1, 2, 3).foreach(i => assert(math.abs(hoch(i) - 0.04) < 1e-12))
+    assert(math.abs(hoch(4) - 0.30) < 1e-12)
+    // R: "BY" = BH × c(4) = (0.08/3)·(25/12) = 1/18, and 0.3·25/12 = 0.625
+    val by = vals("BY")
+    Seq(1, 2, 3).foreach(i => assert(math.abs(by(i) - 1.0 / 18) < 1e-12))
+    assert(math.abs(by(4) - 0.625) < 1e-12)
+    // "none" is the identity (R call-surface parity)
+    assert(vals("none") == Map(1 -> 0.01, 2 -> 0.02, 3 -> 0.02, 4 -> 0.30))
     // families adjust independently (a singleton family is its own m = 1)
     val two = df.unionByName(Seq(("h", 9, 0.04)).toDF("fam", "id", "p"))
     assert(Stats.adjustPValues(two, Seq("fam"), "p", "BH")
       .where(col("id") === 9).head.getAs[Double]("p_adj") == 0.04)
+    assert(Stats.adjustPValues(two, Seq("fam"), "p", "BY")
+      .where(col("id") === 9).head.getAs[Double]("p_adj") == 0.04)
     intercept[IllegalArgumentException](
-      Stats.adjustPValues(df, Seq("fam"), "p", "hochberg"))
+      Stats.adjustPValues(df, Seq("fam"), "p", "hommel"))
     // rstatix add_significance cutpoints
     val stars = Seq(0.00005, 0.0005, 0.005, 0.04, 0.2).toDF("p")
       .select(Stats.significance(col("p")).as("s")).collect().map(_.getString(0))
