@@ -126,6 +126,27 @@ object QueriesCorpus {
         round(avg(col("px_mean")), 4).as("mean_frame_px"))
     }),
 
+    // training-data image quality gate: resolution / aspect / fmt /
+    // payload-corruption / caption rules as one shuffle-free CASE map.
+    // Corruption is PLANTED (every 19th image loses its last payload byte)
+    // so the length-based detector has something real to catch; the oracle
+    // replays the plant arithmetically (seq % 19) — the cross-engine check
+    // pins that the byte-length rule fires exactly on the planted pattern
+    "mm_quality_gate" -> ((s, _) => {
+      ensureDump(s)
+      val planted = Corpus.events(s, P).withColumn("bytes",
+        when(col("seq") % 19 === 0,
+          expr("substring(bytes, 1, cast(length(bytes) - 1 as int))"))
+          .otherwise(col("bytes")))
+      val gated = Multimodal.qualityGate(planted, Corpus.Stopwords,
+        expectedByteLen = Some(col("w").cast("long") * col("h") + 1))
+      gated.groupBy(coalesce(col("reject_reason"), lit("pass")).as("outcome"),
+          col("fmt"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(graft.functions.Text.tokenCount(col("caption"))
+            .cast("double")) + 1e-7, 4).as("avg_tokens"))
+    }),
+
     // corpus as-of against the probe matrix (edge cases incl. before-first)
     "corpus_probe_asof" -> ((s, _) => {
       ensureDump(s)
@@ -327,6 +348,28 @@ object QueriesCorpus {
     "mm_thumbnails" ->
       s"""SELECT image_id, 8 AS tw, 8 AS th, 8*8 + 1 AS thumb_bytes
          |FROM read_parquet('$D/events.parquet/*.parquet')""".stripMargin,
+    // the corrupt branch replays the plant (seq % 19) rather than reading
+    // byte lengths — the dump carries no payloads; rule ORDER must match
+    // Multimodal.qualityGate exactly (first failing rule wins)
+    "mm_quality_gate" ->
+      s"""WITH t AS (SELECT *,
+         |    list_filter(string_split_regex(trim(caption), '\\s+'), x -> x <> '') AS tk
+         |  FROM read_parquet('$D/events.parquet/*.parquet')),
+         |g AS (SELECT fmt, tk,
+         |  CASE WHEN w * h < 128 THEN 'too_small'
+         |       WHEN greatest(CAST(w AS DOUBLE) / h, CAST(h AS DOUBLE) / w) > 1.5
+         |         THEN 'bad_aspect'
+         |       WHEN fmt NOT IN ('raw', 'lq') THEN 'bad_fmt'
+         |       WHEN seq % 19 = 0 THEN 'corrupt'
+         |       WHEN len(tk) < 3 THEN 'caption_short'
+         |       WHEN (CASE WHEN len(tk) > 0 THEN
+         |           CAST(len(list_filter(tk, x -> list_contains($sw, x))) AS DOUBLE)
+         |             / len(tk) ELSE 0.0 END) > 0.7 THEN 'caption_stopwordy'
+         |       ELSE 'pass' END AS outcome
+         |  FROM t)
+         |SELECT outcome, fmt, count(*) AS n,
+         |  round(avg(CAST(len(tk) AS DOUBLE)) + 1e-7, 4) AS avg_tokens
+         |FROM g GROUP BY 1, 2""".stripMargin,
     "corpus_probe_asof" -> probeAsofSql,
     "corpus_probe_asof_skew" -> probeAsofSql,
     // streaming variant emits (entity, probe_ms) + attached event columns

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.corpus.{Codec, Corpus, ImageRow, Phash, Rng}
@@ -94,6 +94,53 @@ object Multimodal {
         ThumbRow(r.image_id, tw, th, Codec.encode(resize(px, r.w, r.h, tw, th), Codec.FmtRaw))
       }
     }
+  }
+
+  /** Training-data image quality gate: the standard pre-training filter a
+    * corpus passes through before feature extraction (the reference's analog
+    * is its row-level sample QC before model fitting,
+    * `helper/computeInteractionMatrix.R:164-170` — entities failing basic
+    * validity rules are masked out before any statistics run).
+    *
+    * Adds a `reject_reason` string column — the FIRST failing rule in a
+    * fixed order, null when the row passes (filter `reject_reason IS NULL`
+    * to keep survivors; keeping the reason makes the gate auditable, which
+    * a silent filter is not):
+    *
+    *  1. `too_small`          w·h below `minPixels`;
+    *  2. `bad_aspect`         max(w/h, h/w) above `maxAspect`;
+    *  3. `bad_fmt`            fmt outside `fmtAllowed`;
+    *  4. `corrupt`            actual payload length ≠ `expectedByteLen`
+    *                          (pass e.g. the codec's w·h+1 contract; rule
+    *                          skipped when None — callers without bytes);
+    *  5. `caption_short`      whitespace token count below `minTokens`;
+    *  6. `caption_stopwordy`  stopword ratio above `maxStopwordRatio`.
+    *
+    * Scale shape: every rule is a pure column expression over the row (the
+    * caption rules reuse [[graft.functions.Text]]'s codegen'd token
+    * expressions) — the gate is a map over the scan, no UDF, no shuffle,
+    * and at 100 TB it fuses into the reading stage's WholeStageCodegen.
+    */
+  def qualityGate(df: DataFrame, stopwords: Seq[String],
+      minPixels: Long = 128L, maxAspect: Double = 1.5,
+      fmtAllowed: Seq[String] = Seq(Codec.FmtRaw, Codec.FmtLq),
+      minTokens: Int = 3, maxStopwordRatio: Double = 0.7,
+      expectedByteLen: Option[Column] = None): DataFrame = {
+    import graft.functions.Text
+    val px = col("w").cast("long") * col("h").cast("long")
+    val aspect = greatest(col("w").cast("double") / col("h"),
+      col("h").cast("double") / col("w"))
+    val corrupt = expectedByteLen
+      .map(e => length(col("bytes")).cast("long") =!= e.cast("long"))
+      .getOrElse(lit(false))
+    df.withColumn("reject_reason",
+      when(px < minPixels, "too_small")
+        .when(aspect > maxAspect, "bad_aspect")
+        .when(!col("fmt").isin(fmtAllowed.map(lit(_)): _*), "bad_fmt")
+        .when(corrupt, "corrupt")
+        .when(Text.tokenCount(col("caption")) < minTokens, "caption_short")
+        .when(Text.stopwordRatio(col("caption"), stopwords) > maxStopwordRatio,
+          "caption_stopwordy"))
   }
 
   /** Frame sampling: treat the payload as a sequence of h-row "frames" and
