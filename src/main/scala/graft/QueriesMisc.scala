@@ -52,6 +52,35 @@ object QueriesMisc {
             .as("mean_price"))
     }),
 
+    // ---- M: stratified train/test split (createDataPartition analog) --------
+    // exact per-class counts (ceil(p·n_class) train rows per class,
+    // `train_functions.R:115,130`); the within-class order is
+    // xxhash64(seed, key), dumped so DuckDB replays the ranking + threshold
+    // from the same hashes (the hash itself is engine-local, determinism
+    // across partitionings asserted in SamplingSpec)
+    "m_split_stratified" -> ((s, d) => {
+      val sp = graft.operators.Sampling.stratifiedSplitExact(
+        t(s, d, "orders"), "o_orderstatus", "o_orderkey", p = 0.8, seed = 7L)
+      Dumps.write(sp.select(col("o_orderkey"),
+        xxhash64(lit(7L), col("o_orderkey")).as("h")), "split_h")
+      sp.groupBy(col("o_orderstatus"), col("is_train"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")) + 1e-7, 4).as("mean_price"))
+    }),
+
+    // the at-scale variant: pure-projection hash threshold (no count, no
+    // rank, no shuffle) — per-class fraction is only concentration-exact,
+    // so the oracle replays the SAME threshold rule from the dumped hashes
+    "m_split_stratified_hash" -> ((s, d) => {
+      val sp = graft.operators.Sampling.stratifiedSplitHash(
+        t(s, d, "orders"), "o_orderkey", p = 0.8, seed = 7L)
+      Dumps.write(sp.select(col("o_orderkey"),
+        xxhash64(lit(7L), col("o_orderkey")).as("h")), "split_h")
+      sp.groupBy(col("o_orderstatus"), col("is_train"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")) + 1e-7, 4).as("mean_price"))
+    }),
+
     // ---- S2: snapshot-table commit/read roundtrip -----------------------------
     // two commits (initial + append) against a fresh root, then read-back of
     // the CURRENT snapshot — exercises bucket manifests, the changed-bucket
@@ -289,6 +318,26 @@ object QueriesMisc {
       """SELECT CAST(o_orderkey % 5 AS INTEGER) AS fold, count(*) AS n,
          round(avg(o_totalprice) + 1e-7, 4) AS mean_price
          FROM orders GROUP BY 1""",
+    "m_split_stratified" ->
+      s"""WITH j AS (SELECT o.*, h.h
+         |  FROM orders o
+         |  JOIN read_parquet('${Dumps.Dir}/split_h.parquet/*.parquet') h
+         |    ON o.o_orderkey = h.o_orderkey),
+         |r AS (SELECT *,
+         |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY h, o_orderkey) AS rn,
+         |  count(*) OVER (PARTITION BY o_orderstatus) AS nc
+         |  FROM j)
+         |SELECT o_orderstatus, rn <= ceil(nc * 0.8) AS is_train,
+         |  count(*) AS n, round(avg(o_totalprice) + 1e-7, 4) AS mean_price
+         |FROM r GROUP BY 1, 2""".stripMargin,
+    "m_split_stratified_hash" ->
+      s"""SELECT o.o_orderstatus,
+         |  ((h.h % 1000000) + 1000000) % 1000000 < 800000 AS is_train,
+         |  count(*) AS n, round(avg(o.o_totalprice) + 1e-7, 4) AS mean_price
+         |FROM orders o
+         |JOIN read_parquet('${Dumps.Dir}/split_h.parquet/*.parquet') h
+         |  ON o.o_orderkey = h.o_orderkey
+         |GROUP BY 1, 2""".stripMargin,
     "s2_snapshot_roundtrip" ->
       "SELECT doc_id, lang, length(text) AS text_len FROM documents",
     "s2_incremental_read" ->

@@ -119,4 +119,58 @@ object Sampling {
     }
     perRep.reduce(_ unionByName _)
   }
+
+  /** Stratified train/test split with EXACT per-class counts — the engine
+    * analog of caret's `createDataPartition(y, p = .8)` (the reference's
+    * split in every model sweep, `train_functions.R:115,130`,
+    * `az_ml_models.R:65`): within each class, exactly ceil(p·n_class) rows
+    * are marked train. The within-class order is xxhash64(seed, key) with
+    * the key as tiebreak, so the split is a pure function of (seed, key) —
+    * identical at any parallelism, any partitioning (the reproducibility
+    * contract shared by [[poissonBootstrap]]).
+    *
+    * Scale shape + rail: exactness requires ranking each class's rows, and
+    * a rank window puts one class in one partition. Class-label cardinality
+    * is small but class SIZE is data-scale, so — like `Stats.kendall` —
+    * the operator fails fast when any class exceeds `maxClassRows` instead
+    * of silently building a fact-scale single-partition sort; above the
+    * rail use [[stratifiedSplitHash]], whose fraction concentrates to p
+    * exactly where exactness stops mattering (binomial CV ~ 1/sqrt(p·n)).
+    */
+  def stratifiedSplitExact(df: DataFrame, classCol: String, keyCol: String,
+      p: Double, seed: Long = 42L, as: String = "is_train",
+      maxClassRows: Long = 50000000L): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"stratifiedSplitExact: p=$p outside (0,1)")
+    val byClass = df.groupBy(col(classCol)).count()
+      .agg(max(col("count"))).head.getLong(0)
+    if (byClass > maxClassRows) throw new IllegalStateException(
+      s"Sampling.stratifiedSplitExact: a class has $byClass rows " +
+        s"(maxClassRows=$maxClassRows). Exact per-class counts rank each " +
+        "class inside one partition; a class this size is fact-scale — use " +
+        "stratifiedSplitHash (pure map, fraction concentrates to p) or " +
+        "raise maxClassRows deliberately.")
+    import org.apache.spark.sql.expressions.Window
+    val cls = Window.partitionBy(col(classCol))
+    val w = cls.orderBy(col("__h"), col(keyCol))
+    df.withColumn("__h", xxhash64(lit(seed), col(keyCol)))
+      .withColumn("__n", count(lit(1)).over(cls))
+      .withColumn(as,
+        row_number().over(w) <= ceil(col("__n").cast("double") * p))
+      .drop("__h", "__n")
+  }
+
+  /** Stratified-in-expectation split at unbounded scale: is_train =
+    * (xxhash64(seed, key) mod 10^6) < p·10^6 — a pure projection, no
+    * shuffle, no count, no rank, so it survives 10^12 rows unchanged.
+    * Per-class train fraction is Binomial(n_c, p)/n_c; at the scales where
+    * [[stratifiedSplitExact]]'s rail trips, the deviation from p is
+    * O(1/sqrt(n_c)) — negligible exactly when exactness is unaffordable.
+    */
+  def stratifiedSplitHash(df: DataFrame, keyCol: String, p: Double,
+      seed: Long = 42L, as: String = "is_train"): DataFrame = {
+    require(p > 0.0 && p < 1.0, s"stratifiedSplitHash: p=$p outside (0,1)")
+    df.withColumn(as,
+      pmod(xxhash64(lit(seed), col(keyCol)), lit(1000000L))
+        < lit(math.round(p * 1000000.0)))
+  }
 }

@@ -89,4 +89,59 @@ class SamplingSpec extends AnyFunSuite {
       assert(math.abs(m - trueMean) < 6 * sd / math.sqrt(5000.0), s"boot mean $m vs $trueMean")
     }
   }
+
+  private def classed(n: Int, parts: Int) =
+    spark.range(0, n, 1, parts).select(col("id").as("k"),
+      // three classes with sizes ~ n/2, n/3, n/6 (id mod 6 buckets)
+      when(col("id") % 6 < 3, "a").when(col("id") % 6 < 5, "b")
+        .otherwise("c").as("cls"))
+
+  test("stratifiedSplitExact: exactly ceil(p*n_class) train rows per class") {
+    val df = classed(6000, 8)
+    val got = Sampling.stratifiedSplitExact(df, "cls", "k", p = 0.8, seed = 3L)
+      .groupBy("cls").agg(
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("tr"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (c, (tr, n)) =>
+      assert(tr == math.ceil(n * 0.8).toLong, s"class $c: $tr of $n")
+    }
+    assert(got.keySet == Set("a", "b", "c"))
+  }
+
+  test("stratifiedSplitExact is identical at any partitioning (manifest property)") {
+    def ids(parts: Int): Set[Long] =
+      Sampling.stratifiedSplitExact(classed(3000, parts), "cls", "k", 0.8, seed = 3L)
+        .where(col("is_train")).select("k").as[Long].collect().toSet
+    val d1 = ids(1)
+    assert(d1 == ids(7) && d1 == ids(32))
+  }
+
+  test("stratifiedSplitExact rail: a fact-scale class fails fast") {
+    val e = intercept[IllegalStateException](
+      Sampling.stratifiedSplitExact(classed(1000, 4), "cls", "k", 0.8,
+        seed = 3L, maxClassRows = 100L))
+    assert(e.getMessage.contains("stratifiedSplitHash"))
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSplitExact(classed(100, 2), "cls", "k", 1.5))
+  }
+
+  test("stratifiedSplitHash: shuffle-free, deterministic, fraction near p") {
+    val df = classed(20000, 16)
+    val sp = Sampling.stratifiedSplitHash(df, "k", p = 0.8, seed = 3L)
+    val agg = sp.groupBy("cls").agg(
+      avg(when(col("is_train"), 1.0).otherwise(0.0)).as("frac")).collect()
+    agg.foreach { r =>
+      // binomial 6-sigma band around 0.8 at the smallest class (~3333 rows)
+      assert(math.abs(r.getDouble(1) - 0.8) < 6 * math.sqrt(0.8 * 0.2 / 3000.0),
+        s"class ${r.getString(0)} frac=${r.getDouble(1)}")
+    }
+    sp.collect()
+    assert(!sp.queryExecution.executedPlan.toString.contains("Exchange"),
+      "hash split must be a pure projection")
+    def ids(parts: Int): Set[Long] =
+      Sampling.stratifiedSplitHash(classed(3000, parts), "k", 0.8, seed = 3L)
+        .where(col("is_train")).select("k").as[Long].collect().toSet
+    assert(ids(1) == ids(32))
+  }
 }
