@@ -356,7 +356,9 @@ object QueriesCorpus {
          |    list_filter(string_split_regex(trim(caption), '\\s+'), x -> x <> '') AS tk
          |  FROM read_parquet('$D/events.parquet/*.parquet')),
          |g AS (SELECT fmt, tk,
-         |  CASE WHEN w * h < 128 THEN 'too_small'
+         |  CASE WHEN w IS NULL OR h IS NULL OR fmt IS NULL OR caption IS NULL
+         |         THEN 'missing_field'
+         |       WHEN w * h < 128 THEN 'too_small'
          |       WHEN greatest(CAST(w AS DOUBLE) / h, CAST(h AS DOUBLE) / w) > 1.5
          |         THEN 'bad_aspect'
          |       WHEN fmt NOT IN ('raw', 'lq') THEN 'bad_fmt'

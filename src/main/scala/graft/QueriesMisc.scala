@@ -10,6 +10,25 @@ object QueriesMisc {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Three-commit time-chunked snapshot table over `documents` (ts chunks
+    * [0,12), [12,36), [36,∞)) — the shared scaffold of the windowed read
+    * queries, defined once so the chunk boundaries cannot drift between
+    * the range-read and windowed-lookup oracles. Returns the table root.
+    */
+  private def timeChunkedDocs(s: SparkSession, d: String, tag: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-snap-$tag").toString
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        col("doc_id").cast("long").as("ts"))
+    graft.tables.SnapshotTable.commit(
+      docs.where(col("doc_id") < 12), root, "doc_id", "ts")
+    graft.tables.SnapshotTable.commitDelta(
+      docs.where(col("doc_id") >= 12 && col("doc_id") < 36), root, "doc_id", "ts")
+    graft.tables.SnapshotTable.commitDelta(
+      docs.where(col("doc_id") >= 36), root, "doc_id", "ts")
+    root
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- M1: deterministic fold assignment (createDataPartition analog) -----
@@ -145,16 +164,7 @@ object QueriesMisc {
     // the manifest-level skipping (bulk slice never opened) is asserted by
     // scan metrics in SnapshotTableSpec
     "s2_range_read" -> ((s, d) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-snap-rng").toString
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("text"),
-          col("doc_id").cast("long").as("ts"))
-      graft.tables.SnapshotTable.commit(
-        docs.where(col("doc_id") < 12), root, "doc_id", "ts")
-      graft.tables.SnapshotTable.commitDelta(
-        docs.where(col("doc_id") >= 12 && col("doc_id") < 36), root, "doc_id", "ts")
-      graft.tables.SnapshotTable.commitDelta(
-        docs.where(col("doc_id") >= 36), root, "doc_id", "ts")
+      val root = timeChunkedDocs(s, d, "rng")
       graft.tables.SnapshotTable.readRange(s, root, Some(10L), Some(35L))
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
     }),
@@ -184,16 +194,7 @@ object QueriesMisc {
     // SnapshotTableSpec, the semantics here)
     "s2_point_lookup_window" -> ((s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft-snap-ptw").toString
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("text"),
-          col("doc_id").cast("long").as("ts"))
-      graft.tables.SnapshotTable.commit(
-        docs.where(col("doc_id") < 12), root, "doc_id", "ts")
-      graft.tables.SnapshotTable.commitDelta(
-        docs.where(col("doc_id") >= 12 && col("doc_id") < 36), root, "doc_id", "ts")
-      graft.tables.SnapshotTable.commitDelta(
-        docs.where(col("doc_id") >= 36), root, "doc_id", "ts")
+      val root = timeChunkedDocs(s, d, "ptw")
       graft.tables.SnapshotTable.readEntities[Long](s, root,
           Seq(1L, 7L, 16L, 23L, 42L), from = Some(5L), until = Some(30L))
         .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))

@@ -281,7 +281,9 @@ object QueriesR3 {
                 / CAST(ntot - n_actual AS DOUBLE) END + 1e-7, 4) AS specificity,
             round(CASE WHEN n_predicted > 0
               THEN tp / CAST(n_predicted AS DOUBLE) END + 1e-7, 4) AS precision,
-            round(2.0 * tp / CAST(n_actual + n_predicted AS DOUBLE) + 1e-7, 4) AS f1,
+            round(CASE WHEN tp > 0
+              THEN 2.0 * tp / CAST(n_actual + n_predicted AS DOUBLE)
+              END + 1e-7, 4) AS f1,
             round(CASE WHEN n_actual > 0 AND ntot > n_actual
               THEN (tp / CAST(n_actual AS DOUBLE)
                 + (ntot - n_actual - n_predicted + tp)

@@ -107,6 +107,12 @@ object Multimodal {
     * to keep survivors; keeping the reason makes the gate auditable, which
     * a silent filter is not):
     *
+    *  0. `missing_field`      w, h, fmt, caption — or bytes when the
+    *                          corrupt rule is armed — is null. Checked
+    *                          FIRST and explicitly: a null skips every
+    *                          `when` branch, so without this rule the
+    *                          nullest (most broken) rows would be exactly
+    *                          the ones sailing through the gate;
     *  1. `too_small`          w·h below `minPixels`;
     *  2. `bad_aspect`         max(w/h, h/w) above `maxAspect`;
     *  3. `bad_fmt`            fmt outside `fmtAllowed`;
@@ -133,8 +139,12 @@ object Multimodal {
     val corrupt = expectedByteLen
       .map(e => length(col("bytes")).cast("long") =!= e.cast("long"))
       .getOrElse(lit(false))
+    val missing = Seq(col("w"), col("h"), col("fmt"), col("caption"))
+      .++(expectedByteLen.map(_ => col("bytes")).toSeq)
+      .map(_.isNull).reduce(_ || _)
     df.withColumn("reject_reason",
-      when(px < minPixels, "too_small")
+      when(missing, "missing_field")
+        .when(px < minPixels, "too_small")
         .when(aspect > maxAspect, "bad_aspect")
         .when(!col("fmt").isin(fmtAllowed.map(lit(_)): _*), "bad_fmt")
         .when(corrupt, "corrupt")

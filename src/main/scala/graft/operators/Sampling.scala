@@ -141,8 +141,9 @@ object Sampling {
       p: Double, seed: Long = 42L, as: String = "is_train",
       maxClassRows: Long = 50000000L): DataFrame = {
     require(p > 0.0 && p < 1.0, s"stratifiedSplitExact: p=$p outside (0,1)")
-    val byClass = df.groupBy(col(classCol)).count()
-      .agg(max(col("count"))).head.getLong(0)
+    // max over zero groups is null (empty input) — an empty split is legal
+    val maxRow = df.groupBy(col(classCol)).count().agg(max(col("count"))).head
+    val byClass = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     if (byClass > maxClassRows) throw new IllegalStateException(
       s"Sampling.stratifiedSplitExact: a class has $byClass rows " +
         s"(maxClassRows=$maxClassRows). Exact per-class counts rank each " +

@@ -558,9 +558,11 @@ object Stats {
     * kappa = (po − pe)/(1 − pe)) repeated on each class row. Also caret's
     * remaining by-class columns: precision (pos pred value, null when the
     * class is never predicted — caret's NA), f1 (= 2·tp/(n_actual +
-    * n_predicted), the harmonic mean written without the P/R intermediate
-    * so tp = 0 gives 0 rather than a 0/0), and balanced_accuracy
-    * ((sensitivity + specificity)/2, null-propagating like caret's NA).
+    * n_predicted) when tp > 0; null when tp = 0, which is exactly caret's
+    * NA surface there — precision NA for a never-predicted class, recall
+    * NA for a predicted-only class, and P = R = 0 → 0/0 → NA otherwise),
+    * and balanced_accuracy ((sensitivity + specificity)/2,
+    * null-propagating like caret's NA).
     *
     * Scale shape: ONE map-side-combinable aggregation over the fact table
     * (k² cells per group); everything after operates on cell counts —
@@ -604,7 +606,8 @@ object Stats {
       .withColumn("precision",
         when(col("n_predicted") > 0, col("tp") / col("n_predicted").cast("double")))
       .withColumn("f1",
-        lit(2.0) * col("tp") / (col("n_actual") + col("n_predicted")).cast("double"))
+        when(col("tp") > 0, lit(2.0) * col("tp") /
+          (col("n_actual") + col("n_predicted")).cast("double")))
       .withColumn("balanced_accuracy",
         (col("sensitivity") + col("specificity")) / 2.0)
       .withColumn("accuracy", po)
@@ -641,7 +644,11 @@ object Stats {
     *
     * All ordered methods are one window over the family, capped at 1.
     * Tied p-values converge to R's value by the running-extreme
-    * construction regardless of tiebreak order. `hommel` is deliberately
+    * construction regardless of tiebreak order. Null p follows R's NA
+    * contract: excluded from m and from every rank (nulls sort last, m
+    * counts non-null only), adjusted value null — a null must neither
+    * steal a rank (deflating real adjustments anticonservatively) nor
+    * inherit a neighbor's running extreme. `hommel` is deliberately
     * not offered: its closed-testing loop is O(m²) per family and not
     * window-expressible; R itself documents hochberg as the near-identical
     * (slightly conservative) substitute under the same validity condition.
@@ -654,51 +661,58 @@ object Stats {
   def adjustPValues(df: DataFrame, family: Seq[String], p: String,
       method: String = "BH", as: String = "p_adj"): DataFrame = {
     val fam = Window.partitionBy(family.map(col): _*)
+    // R's NA contract: nulls sort LAST under both orders, so non-null rows
+    // keep ranks 1..m with m = count(p) (non-null only); the final mask
+    // returns null for null p instead of the inherited running extreme
+    def masked(out: DataFrame): DataFrame = out.withColumn(as,
+      when(col(p).isNull, lit(null).cast("double")).otherwise(col(as)))
     method.toLowerCase match {
       case "bonferroni" =>
-        df.withColumn(as,
-          least(lit(1.0), col(p) * count(lit(1)).over(fam).cast("double")))
+        // masked: least() skips nulls, so least(1, null·m) would yield 1
+        masked(df.withColumn(as,
+          least(lit(1.0), col(p) * count(col(p)).over(fam).cast("double"))))
       case "holm" =>
         // rank first, THEN the running extreme over the same ordered window
         // (a window expression cannot nest inside another); both fold into
         // one WindowExec — same partition, same order
-        val wAsc = fam.orderBy(col(p).asc)
-        df.withColumn("__m", count(lit(1)).over(fam).cast("double"))
+        val wAsc = fam.orderBy(col(p).asc_nulls_last)
+        masked(df.withColumn("__m", count(col(p)).over(fam).cast("double"))
           .withColumn("__w",
             (col("__m") - row_number().over(wAsc) + 1) * col(p))
           .withColumn(as, least(lit(1.0), max(col("__w")).over(
             wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-          .drop("__m", "__w")
+          .drop("__m", "__w"))
       case "bh" | "fdr" =>
         // ascending rank i = m - r + 1 under the p-DESCENDING order; adj =
         // running min of m/i·p from the largest p down (R's cummin)
-        val wDesc = fam.orderBy(col(p).desc)
-        df.withColumn("__m", count(lit(1)).over(fam).cast("double"))
+        val wDesc = fam.orderBy(col(p).desc_nulls_last)
+        masked(df.withColumn("__m", count(col(p)).over(fam).cast("double"))
           .withColumn("__w",
             col(p) * col("__m") / (col("__m") - row_number().over(wDesc) + 1))
           .withColumn(as, least(lit(1.0), min(col("__w")).over(
             wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-          .drop("__m", "__w")
+          .drop("__m", "__w"))
       case "hochberg" =>
         // (m−i+1) under the descending order IS the descending row number
-        val wDesc = fam.orderBy(col(p).desc)
-        df.withColumn("__w", row_number().over(wDesc) * col(p))
+        val wDesc = fam.orderBy(col(p).desc_nulls_last)
+        masked(df.withColumn("__w", row_number().over(wDesc) * col(p))
           .withColumn(as, least(lit(1.0), min(col("__w")).over(
             wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-          .drop("__w")
+          .drop("__w"))
       case "by" =>
         // BH's running min times c(m)=Σ1/i; the harmonic sum is Σ1/rank
-        // over the family — any rank permutation sums the same, so the
-        // descending row number serves both roles
-        val wDesc = fam.orderBy(col(p).desc)
-        df.withColumn("__m", count(lit(1)).over(fam).cast("double"))
+        // over the NON-NULL ranks (any permutation of 1..m sums the same,
+        // so the descending row number serves both roles)
+        val wDesc = fam.orderBy(col(p).desc_nulls_last)
+        masked(df.withColumn("__m", count(col(p)).over(fam).cast("double"))
           .withColumn("__r", row_number().over(wDesc).cast("double"))
-          .withColumn("__c", sum(lit(1.0) / col("__r")).over(fam))
+          .withColumn("__c",
+            sum(when(col(p).isNotNull, lit(1.0) / col("__r"))).over(fam))
           .withColumn("__w",
             col(p) * col("__m") / (col("__m") - col("__r") + 1))
           .withColumn(as, least(lit(1.0), col("__c") * min(col("__w")).over(
             wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
-          .drop("__m", "__r", "__c", "__w")
+          .drop("__m", "__r", "__c", "__w"))
       case "none" =>
         df.withColumn(as, col(p).cast("double"))
       case other => throw new IllegalArgumentException(

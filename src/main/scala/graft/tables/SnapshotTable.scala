@@ -836,9 +836,7 @@ object SnapshotTable {
       implicit enc: org.apache.spark.sql.Encoder[T]): DataFrame = {
     require(keys.nonEmpty && !keys.contains(null.asInstanceOf[T]),
       "readEntities: keys must be a non-empty, null-free list")
-    from.zip(until).foreach { case (lo, hi) =>
-      require(lo <= hi, s"readEntities: empty interval [$lo, $hi]")
-    }
+    requireWindow("readEntities", from, until)
     val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
     require(snap.nbuckets > 0,
@@ -851,19 +849,43 @@ object SnapshotTable {
     val wanted = keyDf
       .select(bucketExpr(snap.entityCol, snap.nbuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val keep = snap.buckets.filter(b => wanted.contains(b.bucket) &&
-      from.forall(b.watermark >= _) && until.forall(b.tmin <= _))
+    val keep = snap.buckets.filter(b =>
+      wanted.contains(b.bucket) && sliceInWindow(b, from, until))
     readSlices(spark, keep, snap.mixedSchema)
       // keys may hash to buckets that never held rows: keep the schema
       .orElse(schemaOnly(spark, snap)) match {
       case Some(df) =>
-        val tc = col(snap.timeCol).cast("long")
         val pred = (Seq(col(snap.entityCol).isInCollection(keys)) ++
-          from.map(tc >= _) ++ until.map(tc <= _)).reduce(_ && _)
+          windowPredicates(snap.timeCol, from, until)).reduce(_ && _)
         conform(df, snap).filter(pred)
       case None => spark.emptyDataFrame // empty table: no schema to give
     }
   }
+
+  /** Can this slice's [tmin, watermark] stats interval intersect the
+    * inclusive [from, until] window? The single definition both windowed
+    * read paths ([[readEntities]], [[readRange]]) prune with — slices
+    * making no tmin claim (legacy manifests, all-null-time slices) carry
+    * tmin = Long.MinValue and are never skipped on the lower bound.
+    */
+  private def sliceInWindow(b: BucketManifest, from: Option[Long],
+      until: Option[Long]): Boolean =
+    from.forall(b.watermark >= _) && until.forall(b.tmin <= _)
+
+  /** Residual row predicates enforcing the exact inclusive bounds inside
+    * kept slices (they push into the parquet scan). Empty when unbounded.
+    */
+  private def windowPredicates(timeCol: String, from: Option[Long],
+      until: Option[Long]): Seq[org.apache.spark.sql.Column] = {
+    val tc = col(timeCol).cast("long")
+    (from.map(tc >= _) ++ until.map(tc <= _)).toSeq
+  }
+
+  private def requireWindow(what: String, from: Option[Long],
+      until: Option[Long]): Unit =
+    from.zip(until).foreach { case (lo, hi) =>
+      require(lo <= hi, s"$what: empty interval [$lo, $hi]")
+    }
 
   /** Zero-row frame carrying the table's schema: from the recorded DDL
     * with zero I/O when available, else a zero-row read over the table's
@@ -898,15 +920,11 @@ object SnapshotTable {
     require(from.nonEmpty || until.nonEmpty,
       "readRange: at least one bound (from/until) is required — use read() " +
         "for a full scan")
-    from.zip(until).foreach { case (lo, hi) =>
-      require(lo <= hi, s"readRange: empty interval [$lo, $hi]")
-    }
+    requireWindow("readRange", from, until)
     val snap = id.map(snapshot(root, _)).orElse(currentSnapshot(root))
       .getOrElse(throw new IllegalStateException(s"no snapshot at $root"))
-    val keep = snap.buckets.filter(b =>
-      from.forall(b.watermark >= _) && until.forall(b.tmin <= _))
-    val tc = col(snap.timeCol).cast("long")
-    val pred = (from.map(tc >= _) ++ until.map(tc <= _)).reduce(_ && _)
+    val keep = snap.buckets.filter(sliceInWindow(_, from, until))
+    val pred = windowPredicates(snap.timeCol, from, until).reduce(_ && _)
     readSlices(spark, keep, snap.mixedSchema)
       .orElse(schemaOnly(spark, snap))
       .map(df => conform(df, snap).filter(pred))

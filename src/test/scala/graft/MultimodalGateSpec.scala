@@ -53,6 +53,23 @@ class MultimodalGateSpec extends AnyFunSuite {
     assert(reason(row(16, 16, "raw", "the", 9)) == Seq("corrupt"))
   }
 
+  test("null fields are rejected as missing_field, not silently passed") {
+    val df = Seq[(String, Array[Byte], Integer, Integer, String, String)](
+      ("a", Array[Byte](1), 16, 16, "raw", null),
+      ("b", Array[Byte](1), null, 16, "raw", "crisp photo of mountain lake"),
+      ("c", Array[Byte](1), 16, 16, null, "crisp photo of mountain lake"),
+      ("d", null, 16, 16, "raw", "crisp photo of mountain lake"))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption")
+    val out = Multimodal.qualityGate(df, sw,
+      expectedByteLen = Some(col("w").cast("long") * col("h") + 1))
+      .select("reject_reason").collect().map(_.getString(0)).toSeq
+    assert(out == Seq.fill(4)("missing_field"))
+    // without the corrupt rule armed, null bytes are NOT a missing field
+    val noBytes = Multimodal.qualityGate(df.where(col("image_id") === "d"), sw)
+      .select("reject_reason").head.getString(0)
+    assert(noBytes == null)
+  }
+
   test("expectedByteLen = None skips the corrupt rule (no bytes required)") {
     val df = Seq((16, 16, "raw", "crisp photo of mountain lake"))
       .toDF("w", "h", "fmt", "caption")

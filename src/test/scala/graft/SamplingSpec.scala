@@ -117,6 +117,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(d1 == ids(7) && d1 == ids(32))
   }
 
+  test("stratifiedSplitExact on an empty input returns empty, schema intact") {
+    val out = Sampling.stratifiedSplitExact(
+      classed(100, 2).where(lit(false)), "cls", "k", 0.8, seed = 3L)
+    assert(out.count() == 0)
+    assert(out.columns.contains("is_train"))
+  }
+
   test("stratifiedSplitExact rail: a fact-scale class fails fast") {
     val e = intercept[IllegalStateException](
       Sampling.stratifiedSplitExact(classed(1000, 4), "cls", "k", 0.8,

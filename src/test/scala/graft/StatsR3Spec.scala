@@ -145,10 +145,11 @@ class StatsR3Spec extends AnyFunSuite {
     assert(dRow.isNullAt(dRow.fieldIndex("sensitivity")))
     // specificity of the never-actual class = TN/(TN+FP) = 3/4
     assert(math.abs(dRow.getAs[Double]("specificity") - 0.75) < 1e-12)
-    // predicted-but-never-actual: precision and f1 are an honest 0, not NaN;
-    // balanced accuracy null-propagates from the undefined sensitivity
+    // predicted-but-never-actual: precision = 0/1 is caret-defined 0; f1 is
+    // caret's NA (recall 0/0) -> null; balanced accuracy null-propagates
+    // from the undefined sensitivity
     assert(dRow.getAs[Double]("precision") == 0.0)
-    assert(dRow.getAs[Double]("f1") == 0.0)
+    assert(dRow.isNullAt(dRow.fieldIndex("f1")))
     assert(dRow.isNullAt(dRow.fieldIndex("balanced_accuracy")))
   }
 
@@ -302,6 +303,24 @@ class StatsR3Spec extends AnyFunSuite {
       .where(col("id") === 9).head.getAs[Double]("p_adj") == 0.04)
     intercept[IllegalArgumentException](
       Stats.adjustPValues(df, Seq("fam"), "p", "hommel"))
+    // R's NA contract: null p is excluded from m and every rank, returns
+    // null — and must not deflate the real rows' adjustments
+    val withNull = Seq(("g", 1, Some(0.01)), ("g", 2, Some(0.04)),
+      ("g", 3, None: Option[Double])).toDF("fam", "id", "p")
+    def nvals(m: String): Map[Int, Option[Double]] =
+      Stats.adjustPValues(withNull, Seq("fam"), "p", m).collect()
+        .map(r => r.getAs[Int]("id") ->
+          (if (r.isNullAt(r.fieldIndex("p_adj"))) None
+           else Some(r.getAs[Double]("p_adj")))).toMap
+    // R on c(.01,.04,NA): bonferroni .02/.08, holm .02/.04, BH .02/.04,
+    // hochberg .02/.04, BY .03/.06 (c(2)=1.5) — NA everywhere third
+    for ((m, e1, e2) <- Seq(("bonferroni", 0.02, 0.08), ("holm", 0.02, 0.04),
+        ("BH", 0.02, 0.04), ("hochberg", 0.02, 0.04), ("BY", 0.03, 0.06))) {
+      val v = nvals(m)
+      assert(math.abs(v(1).get - e1) < 1e-12, s"$m id1: ${v(1)}")
+      assert(math.abs(v(2).get - e2) < 1e-12, s"$m id2: ${v(2)}")
+      assert(v(3).isEmpty, s"$m: null p must stay null")
+    }
     // rstatix add_significance cutpoints
     val stars = Seq(0.00005, 0.0005, 0.005, 0.04, 0.2).toDF("p")
       .select(Stats.significance(col("p")).as("s")).collect().map(_.getString(0))
