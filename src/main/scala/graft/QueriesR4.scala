@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity, Terms}
+
+/** Round-4 training-pipeline additions: the three dedup/curation shapes a
+  * web-scale corpus pipeline runs that were not yet first-class — line-level
+  * boilerplate removal (CCNet), benchmark decontamination (GPT-3 appendix
+  * C), and semantic dedup over embeddings (SemDeDup) — plus TF-IDF term
+  * ranking, the token-side analog of the reference's univariate feature
+  * ranking (`Fig-2C_D_plot_univariate.R`). All four carry full DuckDB
+  * oracles over the shared parquet tables (no dumps needed: line/gram
+  * construction, centroid choice, and the idf formula are engine-portable
+  * by construction).
+  */
+object QueriesR4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The documents corpus has no newlines, so the line-dedup query derives
+    * deterministic line boundaries first: every aligned run of 4 tokens is
+    * one line (the operator itself is delimiter-generic — production feeds
+    * real '\n' pages). The oracle rebuilds the same chunking in SQL.
+    */
+  private def linedText(text: org.apache.spark.sql.Column) = {
+    val tk = Text.tokens(text)
+    concat_ws("\n",
+      transform(sequence(lit(0), floor((size(tk) - 1) / 4).cast("int")),
+        i => concat_ws(" ", slice(tk, i * 4 + 1, lit(4)))))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- DD: cross-document line dedup (CCNet boilerplate removal) ---------
+    "dd_line_dedup" -> ((s, d) =>
+      Dedup.dedupLines(
+        t(s, d, "documents").select(col("doc_id"),
+          linedText(col("text")).as("text")),
+        "doc_id", "text", sep = "\n", maxDocs = 1)),
+
+    // ---- DD: benchmark decontamination (n-gram overlap vs eval set) --------
+    // deterministic eval split: every 37th doc is "benchmark", the rest
+    // "train"; a train doc sharing any distinct 4-gram with the benchmark
+    // set is flagged with its hit count
+    "dd_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(37)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(37)) === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+    // ---- DD: semantic dedup over embeddings (SemDeDup) ----------------------
+    "dd_semantic" -> ((s, d) =>
+      Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
+        nlist = 16, minCos = 0.3)),
+
+    // ---- TXT: top-k TF-IDF terms per document --------------------------------
+    "txt_tfidf_topk" -> ((s, d) =>
+      Terms.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 5))
+  )
+
+  /** Shared SQL fragment: whitespace tokens per document. */
+  private val ToksCte: String =
+    """toks AS (SELECT doc_id,
+      |  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "dd_line_dedup" ->
+      s"""WITH $ToksCte,
+         |l2 AS (SELECT doc_id,
+         |    unnest(generate_series(0, CAST(floor((len(tk)-1)/4.0) AS INT))) AS pos,
+         |    tk FROM toks),
+         |lines AS (SELECT doc_id, pos,
+         |    array_to_string(list_slice(tk, pos*4+1, pos*4+4), ' ') AS line
+         |  FROM l2),
+         |freq AS (SELECT line, count(DISTINCT doc_id) AS df
+         |  FROM lines GROUP BY 1),
+         |kept AS (SELECT lines.* FROM lines JOIN freq USING (line)
+         |  WHERE df <= 1),
+         |reb AS (SELECT doc_id,
+         |    string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         |    count(*) AS n_kept
+         |  FROM kept GROUP BY 1),
+         |cnt AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+         |SELECT c.doc_id,
+         |  coalesce(reb.clean_text, '') AS clean_text,
+         |  coalesce(reb.n_kept, 0) AS n_kept,
+         |  c.n_lines - coalesce(reb.n_kept, 0) AS n_removed
+         |FROM cnt c LEFT JOIN reb USING (doc_id)""".stripMargin,
+
+    "dd_decontaminate" ->
+      s"""WITH $ToksCte,
+         |grams AS (SELECT DISTINCT doc_id,
+         |    unnest(list_transform(generate_series(1, len(tk) - 3),
+         |      i -> array_to_string(list_slice(tk, i, i + 3), ' '))) AS gram
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 37 = 0)
+         |SELECT g.doc_id, count(*) AS n_hit_grams
+         |FROM grams g JOIN bench USING (gram)
+         |WHERE g.doc_id % 37 <> 0
+         |GROUP BY 1 HAVING count(*) >= 1""".stripMargin,
+
+    "dd_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS cv FROM e
+        |  ORDER BY vec_id LIMIT 16),
+        |ca AS (SELECT e.vec_id, c.cent_id,
+        |    round(list_dot_product(v, cv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+        |      AS ccos
+        |  FROM e CROSS JOIN cents c),
+        |cell AS (SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT vec_id, cent_id,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ccos DESC, cent_id) AS rk
+        |    FROM ca) WHERE rk = 1),
+        |dup AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+        |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id
+        |  WHERE round(list_dot_product(ea.v, eb.v) /
+        |      (sqrt(list_dot_product(ea.v, ea.v)) *
+        |       sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.3
+        |  GROUP BY 1)
+        |SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS kept
+        |FROM cell c LEFT JOIN dup d USING (vec_id)""".stripMargin,
+
+    "txt_tfidf_topk" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+         |n AS (SELECT count(*) AS nd FROM documents),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |    round(tf * (ln((nd + 1) / (df + 1)) + 1), 6) AS tfidf
+         |  FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, tf, df, tfidf,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS rk
+         |FROM scored QUALIFY rk <= 5""".stripMargin
+  )
+}

@@ -450,6 +450,86 @@ object Dedup {
     df.join(drop, df(id) === col("__drop"), "left_anti")
   }
 
+  /** Cross-document line-level dedup — the CCNet/RefinedWeb shape (a line
+    * that recurs across many documents is boilerplate: navigation, license
+    * headers, cookie banners — and is removed from ALL documents, not just
+    * duplicated ones). Any `sep`-delimited line appearing in more than
+    * `maxDocs` DISTINCT documents is dropped; surviving lines are
+    * reassembled in original order. Emits one row per input document:
+    * (id, clean_text, n_kept, n_removed) — a document losing every line
+    * stays present with clean_text = ''. Blank/whitespace-only lines are
+    * dropped as noise (they would otherwise all collide on one hash).
+    *
+    * Scale shape — three linear equi-shuffles, no quadratic step:
+    *  1. the global line document-frequency aggregates over the 8-byte
+    *     line hash with map-side combine (the shuffle carries
+    *     (hash, count), never line text);
+    *  2. the over-threshold hash set — tiny by Zipf (boilerplate is few
+    *     distinct lines, many occurrences) — anti-joins the posting list;
+    *  3. reassembly is one per-document aggregation whose ordering is an
+    *     in-group array_sort over (pos, line) structs — no global sort.
+    */
+  def dedupLines(df: DataFrame, id: String, text: String,
+      sep: String = "\n", maxDocs: Long = 1): DataFrame = {
+    val sepQ = java.util.regex.Pattern.quote(sep)
+    val lines = df
+      .select(col(id),
+        posexplode(split(col(text), sepQ)).as(Seq("__pos", "__line")))
+      .where(length(trim(col("__line"))) > 0)
+      .withColumn("__lh", xxhash64(trim(col("__line"))))
+    // distinct (doc, hash) first so a line repeated WITHIN one document
+    // counts once toward the cross-document frequency
+    val common = lines.select(col(id), col("__lh")).distinct()
+      .groupBy("__lh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocs)
+      .select("__lh")
+    val rebuilt = lines.join(common, Seq("__lh"), "left_anti")
+      .groupBy(col(id))
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as("__kept_text"),
+        count(lit(1)).as("__n_kept"))
+    df.select(col(id),
+        size(filter(split(col(text), sepQ),
+          l => length(trim(l)) > 0)).cast("long").as("__n_lines"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("__kept_text"), lit("")).as("clean_text"),
+        coalesce(col("__n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_lines") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Benchmark decontamination — the GPT-3 appendix-C / Llama-2 shape:
+    * flag every training document that shares at least `minHits` distinct
+    * word `n`-grams with a benchmark/eval corpus, so eval questions that
+    * leaked into the crawl can be dropped before training. Returns
+    * (id, n_hit_grams) for contaminated documents only; the caller
+    * anti-joins `train` against it to discard them.
+    *
+    * Scale shape: gram extraction is a pure projection ([[tokenGrams]] is
+    * already per-doc distinct); grams travel as 8-byte xxhash64 keys. The
+    * benchmark gram set — eval suites are ~10^6–10^8 grams, tiny next to a
+    * 10^12-doc corpus — is broadcast by default, making the contamination
+    * check a broadcast semi-join plus one map-side-combined per-doc count:
+    * the training corpus never shuffles. Set `broadcastBench = false` for
+    * an oversized benchmark side to fall back to a hash join on the gram
+    * hash.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, id: String,
+      text: String, n: Int, minHits: Long = 1,
+      broadcastBench: Boolean = true): DataFrame = {
+    def gramHashes(d: DataFrame) =
+      d.select(col(id), explode(tokenGrams(col(text), n)).as("__g"))
+        .select(col(id), xxhash64(col("__g")).as("__gh"))
+    val bg0 = gramHashes(bench).select("__gh").distinct()
+    val bg = if (broadcastBench) broadcast(bg0) else bg0
+    gramHashes(train).join(bg, Seq("__gh"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_hit_grams"))
+      .where(col("n_hit_grams") >= minHits)
+  }
+
   /** EXACT n-gram (token) Jaccard near-dup join: every pair with
     * Jaccard >= `minJaccard` over distinct word n-grams, via prefix
     * filtering (SSJoin/PPJoin): under any consistent global gram order, two

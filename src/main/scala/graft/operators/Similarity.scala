@@ -150,37 +150,11 @@ object Similarity {
     // the assignment closure makes cell assignment a PURE MAP over the corpus
     // — zero shuffle, the property that matters at 10^12 rows. (A window/
     // groupBy argmin would shuffle the whole corpus once per assignment.)
-    val cents: Array[(Long, Array[Double])] = centroids.getOrElse(
-      corpus.orderBy(col(cid)).limit(nlist)
-        .select(col(cid).as("__cent_id"), col(cvec).as("__cent_v")))
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Float](1).toArray.map(_.toDouble)))
-      .sortBy(_._1)
-    // nearest-`keep` cell ids for a vector: cosines in left-to-right double
-    // accumulation and rounded to 6 dp before comparison (ties -> smaller
-    // centroid id), so the assignment is reproducible across engines
-    def nearestCells(keep: Int): UserDefinedFunction = udf { (v: Seq[Float]) =>
-      val vd = v.toArray.map(_.toDouble)
-      var nv = 0.0
-      var i = 0
-      while (i < vd.length) { nv += vd(i) * vd(i); i += 1 }
-      val vn = math.sqrt(nv)
-      cents.map { case (id, cv) =>
-        var dot = 0.0; var cn = 0.0
-        var j = 0
-        while (j < cv.length) { dot += vd(j) * cv(j); cn += cv(j) * cv(j); j += 1 }
-        // HALF_UP like Spark's round() and DuckDB's round() — rint would be
-        // half-even and could diverge at an exact midpoint
-        val cos = BigDecimal(dot / (vn * math.sqrt(cn)))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        (-cos, id)
-      }.sorted.take(keep).map(_._2)
-    }
+    val cents = collectCentroids(corpus, cid, cvec, nlist, centroids)
     val corpusCells = corpus.withColumn("__cent_id",
-      nearestCells(1)(col(cvec))(0))
+      nearestCellsUdf(cents, 1)(col(cvec))(0))
     val queryCells = queries.withColumn("__cent_id",
-      explode(nearestCells(nprobe)(col(qvec))))
+      explode(nearestCellsUdf(cents, nprobe)(col(qvec))))
     val scored = queryCells.join(corpusCells, Seq("__cent_id"))
       .select(col(qid), col(cid),
         round(cosineFast(col(qvec), col(cvec)), 6).as("cos"))
@@ -245,6 +219,83 @@ object Similarity {
     cents.zipWithIndex
       .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }
       .toSeq.toDF("cent_id", "cent_v")
+  }
+
+  /** Coarse centroid table for cell assignment: `centroids` if given (the
+    * [[kmeansCentroids]] output in production), else the deterministic
+    * smallest-`nlist`-ids convention (engine-portable — a DuckDB oracle can
+    * reconstruct it with ORDER BY id LIMIT nlist, no dump needed).
+    */
+  private[operators] def collectCentroids(corpus: DataFrame, cid: String,
+      cvec: String, nlist: Int,
+      centroids: Option[DataFrame]): Array[(Long, Array[Double])] =
+    centroids.getOrElse(
+      corpus.orderBy(col(cid)).limit(nlist)
+        .select(col(cid).as("__cent_id"), col(cvec).as("__cent_v")))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+
+  /** Nearest-`keep` cell ids for a vector: cosines in left-to-right double
+    * accumulation and rounded to 6 dp before comparison (ties -> smaller
+    * centroid id), so the assignment is reproducible across engines.
+    */
+  private[operators] def nearestCellsUdf(cents: Array[(Long, Array[Double])],
+      keep: Int): UserDefinedFunction = udf { (v: Seq[Float]) =>
+    val vd = v.toArray.map(_.toDouble)
+    var nv = 0.0
+    var i = 0
+    while (i < vd.length) { nv += vd(i) * vd(i); i += 1 }
+    val vn = math.sqrt(nv)
+    cents.map { case (id, cv) =>
+      var dot = 0.0; var cn = 0.0
+      var j = 0
+      while (j < cv.length) { dot += vd(j) * cv(j); cn += cv(j) * cv(j); j += 1 }
+      // HALF_UP like Spark's round() and DuckDB's round() — rint would be
+      // half-even and could diverge at an exact midpoint
+      val cos = BigDecimal(dot / (vn * math.sqrt(cn)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (-cos, id)
+    }.sorted.take(keep).map(_._2)
+  }
+
+  /** SemDeDup-style semantic dedup over an embedding column (Abbas et al.
+    * 2023, "SemDeDup", arXiv:2303.09540): assign every vector to its
+    * nearest coarse centroid, then inside each cell mark as duplicate any
+    * vector with a same-cell neighbor at cosine >= `minCos` and a smaller
+    * id. Emits ONE row per input id: (id, cell, dup_of, kept) with
+    * dup_of = the smallest such neighbor (null when kept) — the same
+    * keep-min-id survivor convention as every other dedup operator here
+    * (the paper keeps the vector farthest from the centroid; min-id is
+    * deterministic and engine-portable, and downstream
+    * [[graft.operators.Dedup.keepAfterNearDup]] composes either way).
+    *
+    * Scale shape: cell assignment is a pure broadcast map (zero corpus
+    * shuffle — the exact [[ivfTopK]] rule: cosine rounded to 6 dp, ties to
+    * the smaller centroid id, so one oracle covers both). Candidate
+    * generation is a self-equi-join on the cell id; within-cell pairwise
+    * comparison is inherent to SemDeDup, so `nlist` MUST scale with the
+    * corpus to bound cells (~corpus/nlist rows each — the paper runs 50k
+    * clusters on LAION-440M). Centroids default to the deterministic
+    * smallest-ids convention; production passes [[kmeansCentroids]] output.
+    */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+      nlist: Int = 16, minCos: Double = 0.9,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = collectCentroids(df, id, vec, nlist, centroids)
+    val assigned = df.select(col(id), col(vec),
+      nearestCellsUdf(cents, 1)(col(vec))(0).as("cell"))
+    val left = assigned.select(col("cell"), col(id).as("__ida"),
+      col(vec).as("__va"))
+    val dups = assigned.join(left, Seq("cell"))
+      .where(col("__ida") < col(id) &&
+        round(cosineFast(col("__va"), col(vec)), 6) >= minCos)
+      .groupBy(col(id)).agg(min(col("__ida")).as("dup_of"))
+    assigned.drop(vec)
+      .join(dups, Seq(id), "left")
+      .select(col(id), col("cell"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
   }
 
   /** All near-dup pairs by embedding cosine >= minCos, blocked by an
