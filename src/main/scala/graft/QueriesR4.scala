@@ -61,7 +61,11 @@ object QueriesR4 {
 
     // ---- TXT: top-k TF-IDF terms per document --------------------------------
     "txt_tfidf_topk" -> ((s, d) =>
-      Terms.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 5))
+      Terms.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 5)),
+
+    // ---- TXT: unigram-LM quality proxy (CCNet perplexity bucketing) ---------
+    "txt_unigram_nll" -> ((s, d) =>
+      Terms.unigramLogProb(t(s, d, "documents"), "doc_id", "text"))
   )
 
   /** Shared SQL fragment: whitespace tokens per document. */
@@ -145,6 +149,18 @@ object QueriesR4 {
          |SELECT doc_id, term, tf, df, tfidf,
          |  row_number() OVER (PARTITION BY doc_id
          |    ORDER BY tfidf DESC, term) AS rk
-         |FROM scored QUALIFY rk <= 5""".stripMargin
+         |FROM scored QUALIFY rk <= 5""".stripMargin,
+
+    "txt_unigram_nll" ->
+      s"""WITH $ToksCte,
+         |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |vocab AS (SELECT term, sum(tf) AS cnt FROM tfc GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS t FROM vocab)
+         |SELECT doc_id,
+         |  round(-sum(tf * ln(cnt / t)) / sum(tf), 6) AS nll,
+         |  sum(tf) AS n_tokens
+         |FROM tfc JOIN vocab USING (term) CROSS JOIN tot
+         |GROUP BY 1""".stripMargin
   )
 }

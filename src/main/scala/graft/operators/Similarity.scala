@@ -279,13 +279,33 @@ object Similarity {
     * corpus to bound cells (~corpus/nlist rows each — the paper runs 50k
     * clusters on LAION-440M). Centroids default to the deterministic
     * smallest-ids convention; production passes [[kmeansCentroids]] output.
+    *
+    * `maxCellRows` is the quadratic-blowup rail: a cell over the bound
+    * fails the JOB with a clear message instead of silently launching a
+    * cell² candidate join (100k rows is already 5·10^9 pairs in one cell).
+    * The rail is plan-native — cell sizes are one extra 8-byte-key
+    * aggregation over the assignment, broadcast back, and checked by a
+    * `raise_error` guard inside the executors — no driver-side action, and
+    * unlike the LSH hot-BUCKET guards it cannot silently skip data: a
+    * bucket is one of many redundant probes, a SemDeDup cell is the only
+    * place its members are ever compared.
     */
   def semanticDedup(df: DataFrame, id: String, vec: String,
       nlist: Int = 16, minCos: Double = 0.9,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      maxCellRows: Long = 100000): DataFrame = {
     val cents = collectCentroids(df, id, vec, nlist, centroids)
-    val assigned = df.select(col(id), col(vec),
+    val raw = df.select(col(id), col(vec),
       nearestCellsUdf(cents, 1)(col(vec))(0).as("cell"))
+    val sizes = raw.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    val assigned = raw.join(broadcast(sizes), Seq("cell"))
+      .where(when(col("__cn") > maxCellRows, raise_error(
+        concat(lit("semanticDedup: cell "), col("cell").cast("string"),
+          lit(" holds "), col("__cn").cast("string"),
+          lit(s" rows > maxCellRows=$maxCellRows — the within-cell join is" +
+            " quadratic; raise nlist (it must scale with the corpus) or" +
+            " pass finer kmeansCentroids")))).isNull)
+      .drop("__cn")
     val left = assigned.select(col("cell"), col(id).as("__ida"),
       col(vec).as("__va"))
     val dups = assigned.join(left, Seq("cell"))

@@ -44,4 +44,32 @@ object Terms {
       .select(col(id), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rk"))
   }
+
+  /** Per-document unigram negative log-likelihood — the CCNet-style
+    * language-model quality proxy with no external LM: score(doc) = mean
+    * over the doc's tokens of -ln(count(token)/total_tokens) under the
+    * corpus' OWN unigram distribution (Wenzek et al. 2020 bucket docs by
+    * LM perplexity; the unigram NLL is the model-free analog). Atypical
+    * documents — wrong language, garbled, rare-token spam — score high;
+    * boilerplate scores low. Output: (id, nll, n_tokens).
+    *
+    * Scale shape: ONE corpus-sized map-side-combined (doc, term) count
+    * feeds both sides — the vocabulary aggregate over it is vocab-sized,
+    * the grand total rides in as a broadcast single-row cross join, and
+    * the per-doc fold is a second aggregation of the same (doc, term)
+    * rows. No token-level row ever shuffles twice.
+    */
+  def unigramLogProb(df: DataFrame, id: String, text: String): DataFrame = {
+    val tf = df.select(col(id), explode(Text.tokens(col(text))).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val tot = vocab.agg(sum("cnt").as("__tot"))
+    tf.join(vocab, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(id))
+      .agg(
+        round(-sum(col("tf") * log(col("cnt") / col("__tot"))) /
+          sum(col("tf")), 6).as("nll"),
+        sum(col("tf")).as("n_tokens"))
+  }
 }

@@ -115,6 +115,18 @@ class PipelineR4Spec extends AnyFunSuite {
     assert(kept + dropped == 12 && dropped == 4)
   }
 
+  test("semanticDedup fails fast with a clear error when a cell exceeds the rail") {
+    val e = vecs.toDF("vec_id", "embedding")
+    // nlist = 1 funnels all 12 vectors into one cell; rail at 8
+    val ex = intercept[Exception] {
+      Similarity.semanticDedup(e, "vec_id", "embedding",
+        nlist = 1, minCos = 0.99, maxCellRows = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(ex).exists(m => m.contains("maxCellRows") && m.contains("nlist")))
+  }
+
   // ---------- tfidfTopK -------------------------------------------------------
 
   test("tfidfTopK ranks rare terms above ubiquitous ones and breaks ties by term") {
@@ -133,6 +145,27 @@ class PipelineR4Spec extends AnyFunSuite {
       .head().getAs[String]("term") == "zeta")
     // k bound respected
     assert(r.groupBy("doc_id").count().collect().forall(_.getLong(1) <= 2))
+  }
+
+  test("unigramLogProb matches hand-computed NLL under the corpus distribution") {
+    // corpus: a=2, b=2, c=1, T=5
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = Terms.unigramLogProb(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("nll"), x.getAs[Long]("n_tokens")))).toMap
+    // doc1: -(2 ln(2/5) + ln(2/5))/3 = -ln(0.4); doc2: -(ln(0.4)+ln(0.2))/2
+    assert(r(1L) == ((math.rint(-math.log(0.4) * 1e6) / 1e6, 3L)))
+    assert(r(2L)._1 ==
+      math.rint(-(math.log(0.4) + math.log(0.2)) / 2 * 1e6) / 1e6)
+    assert(r(2L)._2 == 2L)
+  }
+
+  test("unigramLogProb: rare-token docs score strictly higher than common-token docs") {
+    val d = Seq((1L, "x x x x x x x x"), (2L, "x x x x x x x rare"))
+      .toDF("doc_id", "text")
+    val r = Terms.unigramLogProb(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("nll")).toMap
+    assert(r(2L) > r(1L))
   }
 
   test("tfidfTopK tie-break is term-ascending at equal score") {
