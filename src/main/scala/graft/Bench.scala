@@ -51,7 +51,11 @@ object Bench {
     "w_backfill", "w1_topk_per_group", "a1_replicate_summary", "a10_spearman",
     "f10_zscore_trainonly", "txt_token_stats", "txt_langid", "dd_exact",
     "dd_ngram_jaccard", "dd_minhash_lsh", "dd_simhash", "ann_brute_topk",
-    "ann_ivf_topk", "sim_lsh_neardup")
+    "ann_ivf_topk", "sim_lsh_neardup",
+    // session-4 curation ops (line dedup / decontamination / SemDeDup /
+    // TF-IDF / unigram NLL) so their cost is tracked round-over-round
+    "dd_line_dedup", "dd_decontaminate", "dd_semantic", "txt_tfidf_topk",
+    "txt_unigram_nll")
 
   private val CorpusShufflePartitions = 128
 

@@ -283,36 +283,49 @@ object Similarity {
     * `maxCellRows` is the quadratic-blowup rail: a cell over the bound
     * fails the JOB with a clear message instead of silently launching a
     * cell² candidate join (100k rows is already 5·10^9 pairs in one cell).
-    * The rail is plan-native — cell sizes are one extra 8-byte-key
-    * aggregation over the assignment, broadcast back, and checked by a
-    * `raise_error` guard inside the executors — no driver-side action, and
-    * unlike the LSH hot-BUCKET guards it cannot silently skip data: a
-    * bucket is one of many redundant probes, a SemDeDup cell is the only
-    * place its members are ever compared.
+    * The rail is plan-native — cell sizes are an 8-byte-key aggregation of
+    * the cached assignment, folded to one row and checked by a
+    * `raise_error` guard broadcast onto the pair path — no driver-side
+    * action, and unlike the LSH hot-BUCKET guards it cannot silently skip
+    * data: a bucket is one of many redundant probes, a SemDeDup cell is
+    * the only place its members are ever compared.
+    *
+    * The assignment (id, vec, cell) is persisted via [[graft.operators.Caches]]:
+    * it feeds four consumers (rail sizes, both self-join sides, the output
+    * row set) and without the persist the scan + assignment UDF re-run per
+    * consumer — same measured rationale as the minhash banding cache. At
+    * warehouse scale this is the materialized assignment table a SemDeDup
+    * run writes anyway.
     */
   def semanticDedup(df: DataFrame, id: String, vec: String,
       nlist: Int = 16, minCos: Double = 0.9,
       centroids: Option[DataFrame] = None,
       maxCellRows: Long = 100000): DataFrame = {
     val cents = collectCentroids(df, id, vec, nlist, centroids)
-    val raw = df.select(col(id), col(vec),
-      nearestCellsUdf(cents, 1)(col(vec))(0).as("cell"))
-    val sizes = raw.groupBy("cell").agg(count(lit(1)).as("__cn"))
-    val assigned = raw.join(broadcast(sizes), Seq("cell"))
-      .where(when(col("__cn") > maxCellRows, raise_error(
-        concat(lit("semanticDedup: cell "), col("cell").cast("string"),
-          lit(" holds "), col("__cn").cast("string"),
+    val raw = Caches.cache(df.select(col(id), col(vec),
+      nearestCellsUdf(cents, 1)(col(vec))(0).as("cell")))
+    // one-row rail relation: hottest cell (size, id); evaluating __ok
+    // throws when it exceeds the bound. The filter on __ok keeps Catalyst
+    // from pruning the guard away.
+    val rail = raw.groupBy("cell").agg(count(lit(1)).as("__cn"))
+      .agg(max(struct(col("__cn"), col("cell"))).as("__hot"))
+      .select(when(col("__hot").getField("__cn") > maxCellRows, raise_error(
+        concat(lit("semanticDedup: cell "),
+          col("__hot").getField("cell").cast("string"),
+          lit(" holds "), col("__hot").getField("__cn").cast("string"),
           lit(s" rows > maxCellRows=$maxCellRows — the within-cell join is" +
             " quadratic; raise nlist (it must scale with the corpus) or" +
-            " pass finer kmeansCentroids")))).isNull)
-      .drop("__cn")
-    val left = assigned.select(col("cell"), col(id).as("__ida"),
+            " pass finer kmeansCentroids"))))
+        .otherwise(lit(1)).as("__ok"))
+    val checked = raw.crossJoin(broadcast(rail))
+      .where(col("__ok") === 1).drop("__ok")
+    val left = checked.select(col("cell"), col(id).as("__ida"),
       col(vec).as("__va"))
-    val dups = assigned.join(left, Seq("cell"))
+    val dups = checked.join(left, Seq("cell"))
       .where(col("__ida") < col(id) &&
         round(cosineFast(col("__va"), col(vec)), 6) >= minCos)
       .groupBy(col(id)).agg(min(col("__ida")).as("dup_of"))
-    assigned.drop(vec)
+    raw.drop(vec)
       .join(dups, Seq(id), "left")
       .select(col(id), col("cell"), col("dup_of"),
         col("dup_of").isNull.as("kept"))

@@ -20,17 +20,20 @@ object Terms {
     * by term ascending. Output: (id, term, tf, df, tfidf, rk).
     *
     * Scale shape: tf is ONE map-side-combined (doc, term) count over the
-    * exploded tokens — the only corpus-sized shuffle. df reuses the tf
+    * exploded tokens — the only corpus-sized shuffle — persisted via
+    * [[Caches]] because it feeds two consumers with DIFFERENT prunings
+    * (the scored rows keep tf, the df aggregation would drop it), so
+    * Catalyst's exchange reuse cannot deduplicate them and the token
+    * explode would otherwise run twice over the corpus. df reuses the tf
     * rows (one row per (doc, term), so a count per term IS the document
     * frequency): the second aggregation shuffles vocabulary-sized data,
     * not corpus-sized. N arrives as a broadcast single-row cross join —
-    * no driver-side action, the whole operator stays one lazy plan. The
-    * final top-k is a per-document row_number window over k + |doc vocab|
-    * rows per group.
+    * no driver-side action. The final top-k is a per-document row_number
+    * window (Spark plans it as WindowGroupLimit, pre-pruning to k per
+    * group before the exchange).
     */
   def tfidfTopK(df: DataFrame, id: String, text: String, k: Int): DataFrame = {
-    val tf = df.select(col(id), explode(Text.tokens(col(text))).as("term"))
-      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termCounts(df, id, text)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(id))
@@ -53,15 +56,15 @@ object Terms {
     * documents — wrong language, garbled, rare-token spam — score high;
     * boilerplate scores low. Output: (id, nll, n_tokens).
     *
-    * Scale shape: ONE corpus-sized map-side-combined (doc, term) count
-    * feeds both sides — the vocabulary aggregate over it is vocab-sized,
-    * the grand total rides in as a broadcast single-row cross join, and
-    * the per-doc fold is a second aggregation of the same (doc, term)
-    * rows. No token-level row ever shuffles twice.
+    * Scale shape: ONE corpus-sized map-side-combined (doc, term) count —
+    * persisted via [[Caches]], see [[tfidfTopK]] — feeds both sides: the
+    * vocabulary aggregate over it is vocab-sized, the grand total rides in
+    * as a broadcast single-row cross join, and the per-doc fold is a
+    * second aggregation of the same (doc, term) rows. No token-level row
+    * ever shuffles twice.
     */
   def unigramLogProb(df: DataFrame, id: String, text: String): DataFrame = {
-    val tf = df.select(col(id), explode(Text.tokens(col(text))).as("term"))
-      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termCounts(df, id, text)
     val vocab = tf.groupBy("term").agg(sum("tf").as("cnt"))
     val tot = vocab.agg(sum("cnt").as("__tot"))
     tf.join(vocab, Seq("term"))
@@ -72,4 +75,13 @@ object Terms {
           sum(col("tf")), 6).as("nll"),
         sum(col("tf")).as("n_tokens"))
   }
+
+  /** The shared corpus-sized intermediate: one (doc, term) count row per
+    * distinct in-document term, map-side combined, persisted because every
+    * consumer prunes it differently (defeating exchange reuse).
+    */
+  private def termCounts(df: DataFrame, id: String, text: String): DataFrame =
+    Caches.cache(
+      df.select(col(id), explode(Text.tokens(col(text))).as("term"))
+        .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf")))
 }
