@@ -490,9 +490,11 @@ object Dedup {
           array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line"))).as("__kept_text"),
         count(lit(1)).as("__n_kept"))
+    // coalesce: size() of a null text is null, and a null-text document
+    // must still come back as ('', 0, 0), not null counts
     df.select(col(id),
-        size(filter(split(col(text), sepQ),
-          l => length(trim(l)) > 0)).cast("long").as("__n_lines"))
+        coalesce(size(filter(split(col(text), sepQ),
+          l => length(trim(l)) > 0)), lit(0)).cast("long").as("__n_lines"))
       .join(rebuilt, Seq(id), "left")
       .select(col(id),
         coalesce(col("__kept_text"), lit("")).as("clean_text"),

@@ -41,6 +41,16 @@ class PipelineR4Spec extends AnyFunSuite {
     assert(r(1L) == "x y\nx y")
   }
 
+  test("dedupLines: null-text document comes back as ('', 0, 0), not null counts") {
+    val d = Seq((1L, "a line"), (2L, null)).toDF("doc_id", "text")
+    val r = Dedup.dedupLines(d, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[String]("clean_text"), x.getAs[Long]("n_kept"),
+          x.getAs[Long]("n_removed")))).toMap
+    assert(r(2L) == (("", 0L, 0L)))
+    assert(r(1L) == (("a line", 1L, 0L)))
+  }
+
   test("dedupLines maxDocs threshold: shared line survives when allowed in 2 docs") {
     val d = Seq((1L, "s\na"), (2L, "s\nb"), (3L, "c")).toDF("doc_id", "text")
     val r = Dedup.dedupLines(d, "doc_id", "text", maxDocs = 2).collect()
