@@ -509,8 +509,10 @@ object Dedup {
     * (id, n_hit_grams) for contaminated documents only; the caller
     * anti-joins `train` against it to discard them.
     *
-    * Scale shape: gram extraction is a pure projection ([[tokenGrams]] is
-    * already per-doc distinct); grams travel as 8-byte xxhash64 keys. The
+    * Scale shape: gram extraction is a pure projection via the typed
+    * [[gramHashesFast]] kernel (per-doc distinct, bit-equal to
+    * xxhash64-over-[[tokenGrams]] — the policy every dedup operator here
+    * follows); grams travel as 8-byte hash keys, never strings. The
     * benchmark gram set — eval suites are ~10^6–10^8 grams, tiny next to a
     * 10^12-doc corpus — is broadcast by default, making the contamination
     * check a broadcast semi-join plus one map-side-combined per-doc count:
@@ -522,8 +524,7 @@ object Dedup {
       text: String, n: Int, minHits: Long = 1,
       broadcastBench: Boolean = true): DataFrame = {
     def gramHashes(d: DataFrame) =
-      d.select(col(id), explode(tokenGrams(col(text), n)).as("__g"))
-        .select(col(id), xxhash64(col("__g")).as("__gh"))
+      d.select(col(id), explode(gramHashesFast(n)(col(text))).as("__gh"))
     val bg0 = gramHashes(bench).select("__gh").distinct()
     val bg = if (broadcastBench) broadcast(bg0) else bg0
     gramHashes(train).join(bg, Seq("__gh"))
