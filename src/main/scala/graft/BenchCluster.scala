@@ -12,17 +12,22 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{ GRAFT_CLUSTER_RESULT {"sec":..,"rows":..,"digest":..,"reps":[..]} }}}
   *
-  * args: corpusPath corpusRows reps
+  * args: corpusPath corpusRows reps [warmPath warmRows]
+  * (warmPath: the small same-schema corpus used for the untimed warm run —
+  * same plan, 1/8 the rows, so the warm run stops costing a full timed-run
+  * wall; defaults to the corpus itself for standalone use)
   */
 object BenchCluster {
   def main(args: Array[String]): Unit = {
     val Array(path, rowsS, repsS) = args.take(3)
     val rows = rowsS.toLong
     val reps = repsS.toInt
+    val (warmPath, warmRows) =
+      if (args.length >= 5) (args(3), args(4).toLong) else (path, rows)
     val spark = SparkSession.builder().getOrCreate() // master/conf from submit
     spark.sparkContext.setLogLevel("WARN")
     try {
-      Bench.corpusRun(spark, path, rows) // warm-up (codegen + executor JIT)
+      Bench.corpusRun(spark, warmPath, warmRows) // warm-up (codegen + executor JIT)
       val runs = (1 to reps).map(_ => Bench.corpusRun(spark, path, rows))
       val best = runs.minBy(_._1)
       val repsJson = runs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")

@@ -21,7 +21,7 @@ object QueriesAgg {
     "a1_replicate_summary" -> ((s, d) =>
       t(s, d, "events").groupBy(col("user_id"), col("event_type"))
         .agg(
-          round(avg(col("value")) + 1e-7, 4).as("mean_v"),
+          round(avg(col("value")) + 1.7e-8, 4).as("mean_v"),
           round(min(col("value")), 4).as("min_v"),
           round(max(col("value")), 4).as("max_v"),
           round(min_by(col("value"), col("event_id")), 4).as("first_v"),
@@ -31,29 +31,29 @@ object QueriesAgg {
     // ---- A3: per-group Pearson correlation with target ---------------------
     "a3_group_corr" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag"))
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")) + 1e-7, 4).as("pearson"),
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")) + 1.7e-8, 4).as("pearson"),
           count(lit(1)).as("n"))),
 
     // ---- A4: per-group Welch t-statistic between two classes ---------------
     "a4_welch_t" -> ((s, d) =>
       Stats.welchT(t(s, d, "lineitem"), Seq("l_linestatus"),
         "l_returnflag", "A", "N", "l_quantity")
-        .withColumn("t_stat", round(col("t_stat") + 1e-7, 4))),
+        .withColumn("t_stat", round(col("t_stat") + 1.7e-8, 4))),
 
     // ---- A7: mean ± CI per group -------------------------------------------
     "a7_mean_ci" -> ((s, d) =>
       Stats.meanCi(t(s, d, "customer"), Seq("c_mktsegment"), "c_acctbal")
-        .select(col("c_mktsegment"), round(col("mean") + 1e-7, 4).as("mean"),
-          round(col("sd") + 1e-7, 4).as("sd"), col("n"),
-          round(col("ci_lo") + 1e-7, 4).as("ci_lo"), round(col("ci_hi") + 1e-7, 4).as("ci_hi"))),
+        .select(col("c_mktsegment"), round(col("mean") + 1.7e-8, 4).as("mean"),
+          round(col("sd") + 1.7e-8, 4).as("sd"), col("n"),
+          round(col("ci_lo") + 1.7e-8, 4).as("ci_lo"), round(col("ci_hi") + 1.7e-8, 4).as("ci_hi"))),
 
     // ---- A8: grouped mean difference via conditional agg (pivot diff) ------
     "a8_mean_diff" -> ((s, d) =>
       t(s, d, "events").filter(col("event_type").isin("purchase", "view"))
         .groupBy(col("user_id"))
         .agg(
-          round(avg(when(col("event_type") === "purchase", col("value"))) + 1e-7, 4).as("mean_purchase"),
-          round(avg(when(col("event_type") === "view", col("value"))) + 1e-7, 4).as("mean_view"))
+          round(avg(when(col("event_type") === "purchase", col("value"))) + 1.7e-8, 4).as("mean_purchase"),
+          round(avg(when(col("event_type") === "view", col("value"))) + 1.7e-8, 4).as("mean_view"))
         .withColumn("diff", round(col("mean_purchase") - col("mean_view"), 4))),
 
     // ---- A9: error metrics (RMSE / MAE / pearson) --------------------------
@@ -63,15 +63,15 @@ object QueriesAgg {
           .withColumn("pred", col("l_quantity") * (lit(1.0) - col("l_discount")))
           .withColumn("obs", col("l_quantity")),
         Seq("l_returnflag"), "pred", "obs")
-        .select(col("l_returnflag"), round(col("rmse") + 1e-7, 4).as("rmse"),
-          round(col("mae") + 1e-7, 4).as("mae"), round(col("pearson") + 1e-7, 4).as("pearson"),
+        .select(col("l_returnflag"), round(col("rmse") + 1.7e-8, 4).as("rmse"),
+          round(col("mae") + 1.7e-8, 4).as("mae"), round(col("pearson") + 1.7e-8, 4).as("pearson"),
           col("n"))),
 
     // ---- A10: Spearman rank correlation per group --------------------------
     "a10_spearman" -> ((s, d) =>
       Stats.spearman(t(s, d, "lineitem"), Seq("l_returnflag"),
         "l_quantity", "l_extendedprice")
-        .withColumn("spearman", round(col("spearman") + 1e-7, 4))),
+        .withColumn("spearman", round(col("spearman") + 1.7e-8, 4))),
 
     // ---- A11: correlation of value with its own rank position --------------
     "a11_rank_linearity" -> ((s, d) => {
@@ -79,7 +79,7 @@ object QueriesAgg {
         .orderBy(col("value").desc, col("event_id"))
       t(s, d, "events").withColumn("rn", row_number().over(w))
         .groupBy(col("event_type"))
-        .agg(round(corr(col("value"), col("rn")) + 1e-7, 4).as("cor_rank"))
+        .agg(round(corr(col("value"), col("rn")) + 1.7e-8, 4).as("cor_rank"))
     }),
 
     // ---- A12: confusion-matrix counts ---------------------------------------
@@ -98,8 +98,8 @@ object QueriesAgg {
     "a14_linear_fit" -> ((s, d) =>
       Stats.linearFit(t(s, d, "lineitem"), Seq("l_returnflag"),
         "l_quantity", "l_extendedprice")
-        .select(col("l_returnflag"), round(col("slope") + 1e-7, 4).as("slope"),
-          round(col("intercept") + 1e-7, 4).as("intercept"), col("n"))),
+        .select(col("l_returnflag"), round(col("slope") + 1.7e-8, 4).as("slope"),
+          round(col("intercept") + 1.7e-8, 4).as("intercept"), col("n"))),
 
     // ---- A15: min/max/exact-median/argmin/argmax ----------------------------
     "a15_order_stats" -> ((s, d) =>
@@ -128,9 +128,9 @@ object QueriesAgg {
     "a17_union_agg" -> ((s, d) => {
       val ev = t(s, d, "events")
       val a = ev.filter(col("value") >= 50).groupBy(col("event_type"))
-        .agg(round(avg(col("value")) + 1e-7, 4).as("mean_v")).withColumn("half", lit("hi"))
+        .agg(round(avg(col("value")) + 1.7e-8, 4).as("mean_v")).withColumn("half", lit("hi"))
       val b = ev.filter(col("value") < 50).groupBy(col("event_type"))
-        .agg(round(avg(col("value")) + 1e-7, 4).as("mean_v")).withColumn("half", lit("lo"))
+        .agg(round(avg(col("value")) + 1.7e-8, 4).as("mean_v")).withColumn("half", lit("lo"))
       a.unionByName(b)
     }),
 
@@ -221,7 +221,7 @@ object QueriesAgg {
           // + 0.0 canonicalizes IEEE negative zero (-0.0 + 0.0 = 0.0); DuckDB
           // emits -0.0 for 2 rows at sf0.1 where Spark emits 0.0 and the
           // driver's hash is sign-sensitive (round-1 hash FAIL root cause)
-          (round(col("l_extendedprice_z") + 1e-7, 4) + lit(0.0)).as("z"))),
+          (round(col("l_extendedprice_z") + 1.7e-8, 4) + lit(0.0)).as("z"))),
 
     // ---- R1: pivot long→wide via conditional aggregation ----------------------
     "r1_pivot_counts" -> ((s, d) =>
@@ -242,13 +242,13 @@ object QueriesAgg {
 
   val oracle: Map[String, String] = Map(
     "a1_replicate_summary" ->
-      """SELECT user_id, event_type, round(avg(value) + 1e-7, 4) AS mean_v,
+      """SELECT user_id, event_type, round(avg(value) + 1.7e-8, 4) AS mean_v,
          round(min(value), 4) AS min_v, round(max(value), 4) AS max_v,
          round(arg_min(value, event_id), 4) AS first_v,
          round(arg_max(value, event_id), 4) AS last_v, count(*) AS n
          FROM events GROUP BY user_id, event_type""",
     "a3_group_corr" ->
-      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice) + 1e-7, 4) AS pearson,
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice) + 1.7e-8, 4) AS pearson,
          count(*) AS n FROM lineitem GROUP BY l_returnflag""",
     "a4_welch_t" ->
       """WITH g AS (SELECT l_linestatus, l_returnflag, avg(l_quantity) m,
@@ -256,29 +256,29 @@ object QueriesAgg {
                     FROM lineitem WHERE l_returnflag IN ('A', 'N')
                     GROUP BY 1, 2)
          SELECT a.l_linestatus,
-                round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) + 1e-7, 4) AS t_stat,
+                round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n) + 1.7e-8, 4) AS t_stat,
                 a.n AS n1, b.n AS n2
          FROM g a JOIN g b ON a.l_linestatus = b.l_linestatus
          WHERE a.l_returnflag = 'A' AND b.l_returnflag = 'N'""",
     "a7_mean_ci" ->
-      """SELECT c_mktsegment, round(avg(c_acctbal) + 1e-7, 4) AS mean,
-         round(stddev_samp(c_acctbal) + 1e-7, 4) AS sd, count(*) AS n,
-         round(avg(c_acctbal) - 1.96 * stddev_samp(c_acctbal) / sqrt(count(*)) + 1e-7, 4) AS ci_lo,
-         round(avg(c_acctbal) + 1.96 * stddev_samp(c_acctbal) / sqrt(count(*)) + 1e-7, 4) AS ci_hi
+      """SELECT c_mktsegment, round(avg(c_acctbal) + 1.7e-8, 4) AS mean,
+         round(stddev_samp(c_acctbal) + 1.7e-8, 4) AS sd, count(*) AS n,
+         round(avg(c_acctbal) - 1.96 * stddev_samp(c_acctbal) / sqrt(count(*)) + 1.7e-8, 4) AS ci_lo,
+         round(avg(c_acctbal) + 1.96 * stddev_samp(c_acctbal) / sqrt(count(*)) + 1.7e-8, 4) AS ci_hi
          FROM customer GROUP BY c_mktsegment""",
     "a8_mean_diff" ->
       """SELECT user_id,
-         round(avg(value) FILTER (WHERE event_type = 'purchase') + 1e-7, 4) AS mean_purchase,
-         round(avg(value) FILTER (WHERE event_type = 'view') + 1e-7, 4) AS mean_view,
-         round(round(avg(value) FILTER (WHERE event_type = 'purchase') + 1e-7, 4)
-             - round(avg(value) FILTER (WHERE event_type = 'view') + 1e-7, 4), 4) AS diff
+         round(avg(value) FILTER (WHERE event_type = 'purchase') + 1.7e-8, 4) AS mean_purchase,
+         round(avg(value) FILTER (WHERE event_type = 'view') + 1.7e-8, 4) AS mean_view,
+         round(round(avg(value) FILTER (WHERE event_type = 'purchase') + 1.7e-8, 4)
+             - round(avg(value) FILTER (WHERE event_type = 'view') + 1.7e-8, 4), 4) AS diff
          FROM events WHERE event_type IN ('purchase', 'view') GROUP BY user_id""",
     "a9_error_metrics" ->
       """WITH t AS (SELECT l_returnflag, l_quantity * (1.0 - l_discount) AS pred,
                     l_quantity AS obs FROM lineitem)
-         SELECT l_returnflag, round(sqrt(avg((pred - obs) * (pred - obs))) + 1e-7, 4) AS rmse,
-         round(avg(abs(pred - obs)) + 1e-7, 4) AS mae,
-         round(corr(pred, obs) + 1e-7, 4) AS pearson, count(*) AS n
+         SELECT l_returnflag, round(sqrt(avg((pred - obs) * (pred - obs))) + 1.7e-8, 4) AS rmse,
+         round(avg(abs(pred - obs)) + 1.7e-8, 4) AS mae,
+         round(corr(pred, obs) + 1.7e-8, 4) AS pearson, count(*) AS n
          FROM t GROUP BY l_returnflag""",
     "a10_spearman" ->
       """WITH r AS (SELECT l_returnflag,
@@ -287,13 +287,13 @@ object QueriesAgg {
            rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
              + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
            FROM lineitem)
-         SELECT l_returnflag, round(corr(rx, ry) + 1e-7, 4) AS spearman
+         SELECT l_returnflag, round(corr(rx, ry) + 1.7e-8, 4) AS spearman
          FROM r GROUP BY l_returnflag""",
     "a11_rank_linearity" ->
       """WITH r AS (SELECT event_type, value,
            row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
            FROM events)
-         SELECT event_type, round(corr(value, rn) + 1e-7, 4) AS cor_rank FROM r GROUP BY event_type""",
+         SELECT event_type, round(corr(value, rn) + 1.7e-8, 4) AS cor_rank FROM r GROUP BY event_type""",
     "a12_confusion" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
          FROM orders GROUP BY 1, 2""",
@@ -312,9 +312,9 @@ object QueriesAgg {
          FROM r GROUP BY l_linestatus""",
     "a14_linear_fit" ->
       """SELECT l_returnflag,
-         round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity) + 1e-7, 4) AS slope,
+         round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity) + 1.7e-8, 4) AS slope,
          round(avg(l_extendedprice) - covar_samp(l_quantity, l_extendedprice)
-           / var_samp(l_quantity) * avg(l_quantity) + 1e-7, 4) AS intercept,
+           / var_samp(l_quantity) * avg(l_quantity) + 1.7e-8, 4) AS intercept,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag""",
     "a15_order_stats" ->
@@ -333,10 +333,10 @@ object QueriesAgg {
       """SELECT event_type, count(DISTINCT round(value, 2)) AS n_distinct,
          count(*) AS n FROM events GROUP BY event_type""",
     "a17_union_agg" ->
-      """SELECT event_type, round(avg(value) + 1e-7, 4) AS mean_v, 'hi' AS half
+      """SELECT event_type, round(avg(value) + 1.7e-8, 4) AS mean_v, 'hi' AS half
          FROM events WHERE value >= 50 GROUP BY event_type
          UNION ALL
-         SELECT event_type, round(avg(value) + 1e-7, 4) AS mean_v, 'lo' AS half
+         SELECT event_type, round(avg(value) + 1.7e-8, 4) AS mean_v, 'lo' AS half
          FROM events WHERE value < 50 GROUP BY event_type""",
     "w1_topk_per_group" ->
       """WITH t AS (SELECT l_orderkey, l_linenumber,
@@ -402,7 +402,7 @@ object QueriesAgg {
            GROUP BY l_returnflag)
          SELECT l.l_orderkey, l.l_linenumber,
            CASE WHEN s.sigma > 0
-             THEN round((l.l_extendedprice - s.mu) / s.sigma + 1e-7, 4) + 0.0 END AS z
+             THEN round((l.l_extendedprice - s.mu) / s.sigma + 1.7e-8, 4) + 0.0 END AS z
          FROM lineitem l LEFT JOIN stats s ON l.l_returnflag = s.l_returnflag""",
     "r1_pivot_counts" ->
       """SELECT o_orderpriority,

@@ -144,7 +144,7 @@ object QueriesCorpus {
           col("fmt"))
         .agg(count(lit(1)).as("n"),
           round(avg(graft.functions.Text.tokenCount(col("caption"))
-            .cast("double")) + 1e-7, 4).as("avg_tokens"))
+            .cast("double")) + 1.7e-8, 4).as("avg_tokens"))
     }),
 
     // corpus as-of against the probe matrix (edge cases incl. before-first)
@@ -370,7 +370,7 @@ object QueriesCorpus {
          |       ELSE 'pass' END AS outcome
          |  FROM t)
          |SELECT outcome, fmt, count(*) AS n,
-         |  round(avg(CAST(len(tk) AS DOUBLE)) + 1e-7, 4) AS avg_tokens
+         |  round(avg(CAST(len(tk) AS DOUBLE)) + 1.7e-8, 4) AS avg_tokens
          |FROM g GROUP BY 1, 2""".stripMargin,
     "corpus_probe_asof" -> probeAsofSql,
     "corpus_probe_asof_skew" -> probeAsofSql,

@@ -42,7 +42,7 @@ object QueriesExt {
         .where(col("__has_na") === 1).select("user_id")
       long.join(bad, Seq("user_id"), "left_anti")
         .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("v")) + 1e-7, 4).as("sum_v"))
+        .agg(count(lit(1)).as("n"), round(sum(col("v")) + 1.7e-8, 4).as("sum_v"))
     }),
 
     // ---- W4: head-k of a ranked dim, then fact join --------------------------
@@ -70,7 +70,7 @@ object QueriesExt {
         key = "o_custkey", uniqueCol = "o_orderkey", salts = 8)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")) + 1e-7, 2).as("sum_price"))),
+          round(sum(col("o_totalprice")) + 1.7e-8, 2).as("sum_price"))),
 
     // ---- SET4: materialized venn counts ---------------------------------------
     "set4_venn_counts" -> ((s, d) => {
@@ -108,20 +108,20 @@ object QueriesExt {
     "a7_mean_ci90" -> ((s, d) =>
       Stats.meanCiLevel(t(s, d, "customer"), Seq("c_mktsegment"), "c_acctbal",
         level = 0.90)
-        .select(col("c_mktsegment"), round(col("mean") + 1e-7, 4).as("mean"),
+        .select(col("c_mktsegment"), round(col("mean") + 1.7e-8, 4).as("mean"),
           col("n"),
           // CI bounds rounded to 2 dp: the oracle's z is the published
           // constant 1.6448536269514722 while ours is Acklam-derived
           // (|rel err| < 1.15e-9) — at 4 dp a ~3e-7 absolute difference
           // could straddle a rounding boundary
-          round(col("ci_lo") + 1e-7, 2).as("ci_lo"),
-          round(col("ci_hi") + 1e-7, 2).as("ci_hi")))
+          round(col("ci_lo") + 1.7e-8, 2).as("ci_lo"),
+          round(col("ci_hi") + 1.7e-8, 2).as("ci_hi")))
   )
 
   val oracle: Map[String, String] = Map(
     "j9_salted_join" ->
       """SELECT c_nationkey, count(*) AS n_orders,
-           round(sum(o_totalprice) + 1e-7, 2) AS sum_price
+           round(sum(o_totalprice) + 1.7e-8, 2) AS sum_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1""",
     "j4_ranked_dim_join" ->
@@ -135,7 +135,7 @@ object QueriesExt {
            CASE WHEN event_id % 50 <> 0 THEN value END AS v FROM events),
          bad AS (SELECT user_id FROM l GROUP BY user_id
                  HAVING sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) > 0)
-         SELECT user_id, count(*) AS n, round(sum(v) + 1e-7, 4) AS sum_v
+         SELECT user_id, count(*) AS n, round(sum(v) + 1.7e-8, 4) AS sum_v
          FROM l WHERE user_id NOT IN (SELECT user_id FROM bad)
          GROUP BY user_id""",
     "w4_head_ranked_dim" ->
@@ -172,11 +172,11 @@ object QueriesExt {
                   * CAST((count(*) - sum(p.ty)) AS DOUBLE)), 6) AS kendall_tau
          FROM p JOIN n ON n.g = p.g GROUP BY p.g, n.n""",
     "a7_mean_ci90" ->
-      """SELECT c_mktsegment, round(avg(c_acctbal) + 1e-7, 4) AS mean, count(*) AS n,
+      """SELECT c_mktsegment, round(avg(c_acctbal) + 1.7e-8, 4) AS mean, count(*) AS n,
          round(avg(c_acctbal)
-           - 1.6448536269514722 * stddev_samp(c_acctbal) / sqrt(count(*)) + 1e-7, 2) AS ci_lo,
+           - 1.6448536269514722 * stddev_samp(c_acctbal) / sqrt(count(*)) + 1.7e-8, 2) AS ci_lo,
          round(avg(c_acctbal)
-           + 1.6448536269514722 * stddev_samp(c_acctbal) / sqrt(count(*)) + 1e-7, 2) AS ci_hi
+           + 1.6448536269514722 * stddev_samp(c_acctbal) / sqrt(count(*)) + 1.7e-8, 2) AS ci_hi
          FROM customer GROUP BY c_mktsegment"""
   )
 }

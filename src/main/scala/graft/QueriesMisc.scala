@@ -39,7 +39,7 @@ object QueriesMisc {
         .withColumn("fold", pmod(col("o_orderkey"), lit(5)).cast("int"))
         .groupBy(col("fold"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("o_totalprice")) + 1e-7, 4).as("mean_price"))),
+          round(avg(col("o_totalprice")) + 1.7e-8, 4).as("mean_price"))),
 
     // ---- M2: Poisson bootstrap (seeded, partitioning-independent) -----------
     // each row's multiplicity m ~ Poisson(0.5) derives from hash(seed, key)
@@ -54,7 +54,7 @@ object QueriesMisc {
       Dumps.write(m.select(col("o_orderkey"), col("m")), "bootstrap_m")
       m.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows_hit"), sum(col("m")).as("n_sampled"),
-          round(sum(col("m") * col("o_totalprice")) / sum(col("m")) + 1e-7, 4)
+          round(sum(col("m") * col("o_totalprice")) / sum(col("m")) + 1.7e-8, 4)
             .as("mean_price"))
     }),
 
@@ -67,7 +67,7 @@ object QueriesMisc {
       Dumps.write(up.select(col("o_orderkey"), col("m")), "upsample_m")
       up.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_rows_hit"), sum(col("m")).as("n_sampled"),
-          round(sum(col("m") * col("o_totalprice")) / sum(col("m")) + 1e-7, 4)
+          round(sum(col("m") * col("o_totalprice")) / sum(col("m")) + 1.7e-8, 4)
             .as("mean_price"))
     }),
 
@@ -84,7 +84,7 @@ object QueriesMisc {
         xxhash64(lit(7L), col("o_orderkey")).as("h")), "split_h")
       sp.groupBy(col("o_orderstatus"), col("is_train"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("o_totalprice")) + 1e-7, 4).as("mean_price"))
+          round(avg(col("o_totalprice")) + 1.7e-8, 4).as("mean_price"))
     }),
 
     // the at-scale variant: pure-projection hash threshold (no count, no
@@ -97,7 +97,7 @@ object QueriesMisc {
         xxhash64(lit(7L), col("o_orderkey")).as("h")), "split_h")
       sp.groupBy(col("o_orderstatus"), col("is_train"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("o_totalprice")) + 1e-7, 4).as("mean_price"))
+          round(avg(col("o_totalprice")) + 1.7e-8, 4).as("mean_price"))
     }),
 
     // ---- S2: snapshot-table commit/read roundtrip -----------------------------
@@ -302,7 +302,7 @@ object QueriesMisc {
     "m2_bootstrap_sample" ->
       s"""SELECT o.o_orderstatus, count(*) AS n_rows_hit,
          |  CAST(sum(m.m) AS BIGINT) AS n_sampled,
-         |  round(sum(m.m * o.o_totalprice) / sum(m.m) + 1e-7, 4) AS mean_price
+         |  round(sum(m.m * o.o_totalprice) / sum(m.m) + 1.7e-8, 4) AS mean_price
          |FROM orders o
          |JOIN read_parquet('${Dumps.Dir}/bootstrap_m.parquet/*.parquet') m
          |  ON o.o_orderkey = m.o_orderkey
@@ -310,14 +310,14 @@ object QueriesMisc {
     "m3_class_upsample" ->
       s"""SELECT o.o_orderstatus, count(*) AS n_rows_hit,
          |  CAST(sum(m.m) AS BIGINT) AS n_sampled,
-         |  round(sum(m.m * o.o_totalprice) / sum(m.m) + 1e-7, 4) AS mean_price
+         |  round(sum(m.m * o.o_totalprice) / sum(m.m) + 1.7e-8, 4) AS mean_price
          |FROM orders o
          |JOIN read_parquet('${Dumps.Dir}/upsample_m.parquet/*.parquet') m
          |  ON o.o_orderkey = m.o_orderkey
          |GROUP BY 1""".stripMargin,
     "m1_fold_assignment" ->
       """SELECT CAST(o_orderkey % 5 AS INTEGER) AS fold, count(*) AS n,
-         round(avg(o_totalprice) + 1e-7, 4) AS mean_price
+         round(avg(o_totalprice) + 1.7e-8, 4) AS mean_price
          FROM orders GROUP BY 1""",
     "m_split_stratified" ->
       s"""WITH j AS (SELECT o.*, h.h
@@ -329,12 +329,12 @@ object QueriesMisc {
          |  count(*) OVER (PARTITION BY o_orderstatus) AS nc
          |  FROM j)
          |SELECT o_orderstatus, rn <= ceil(nc * 0.8) AS is_train,
-         |  count(*) AS n, round(avg(o_totalprice) + 1e-7, 4) AS mean_price
+         |  count(*) AS n, round(avg(o_totalprice) + 1.7e-8, 4) AS mean_price
          |FROM r GROUP BY 1, 2""".stripMargin,
     "m_split_stratified_hash" ->
       s"""SELECT o.o_orderstatus,
          |  ((h.h % 1000000) + 1000000) % 1000000 < 800000 AS is_train,
-         |  count(*) AS n, round(avg(o.o_totalprice) + 1e-7, 4) AS mean_price
+         |  count(*) AS n, round(avg(o.o_totalprice) + 1.7e-8, 4) AS mean_price
          |FROM orders o
          |JOIN read_parquet('${Dumps.Dir}/split_h.parquet/*.parquet') h
          |  ON o.o_orderkey = h.o_orderkey

@@ -39,8 +39,8 @@ object QueriesR3 {
         Seq("l_linestatus"), "l_returnflag", "A", "l_quantity")
         .select(col("l_linestatus"), col("n1"), col("n2"),
           round(col("u_stat"), 2).as("u_stat"),
-          round(col("z") + 1e-7, 4).as("z"),
-          round(col("p_value") + 1e-7, 4).as("p_value"))),
+          round(col("z") + 1.7e-8, 4).as("z"),
+          round(col("p_value") + 1.7e-8, 4).as("p_value"))),
 
     // ---- A13 paired: signed-rank test over (pred, obs) pairs ----------------
     // d = qty*(1-disc)*(1+tax) - qty: sign varies with tax vs disc, zeros
@@ -54,8 +54,8 @@ object QueriesR3 {
         Seq("l_linestatus"), "pred", "obs")
         .select(col("l_linestatus"), col("n_nonzero"),
           round(col("w_stat"), 2).as("w_stat"),
-          round(col("z") + 1e-7, 4).as("z"),
-          round(col("p_value") + 1e-7, 4).as("p_value"))),
+          round(col("z") + 1.7e-8, 4).as("z"),
+          round(col("p_value") + 1.7e-8, 4).as("p_value"))),
 
     // ---- A13 exact: small-sample exact Mann-Whitney p (R's default) --------
     // fixture: nation keys of regions 0 vs 1 — 5 v 5, tie-free, so the
@@ -71,7 +71,7 @@ object QueriesR3 {
         Seq("g"), "cls", "A", "v")
         .select(col("g"), col("n1"), col("n2"),
           round(col("u_stat"), 2).as("u_stat"), col("method"),
-          round(col("p_value") + 1e-7, 6).as("p_value"))),
+          round(col("p_value") + 1.7e-8, 6).as("p_value"))),
 
     // ---- A12 derived: accuracy/sensitivity/specificity/precision/kappa -----
     "a12_confusion_stats" -> ((s, d) =>
@@ -81,15 +81,19 @@ object QueriesR3 {
         actual = col("o_orderstatus") === "F",
         predicted = col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .select(col("seg"), col("tp"), col("fp"), col("fn"), col("tn"),
-          round(col("accuracy") + 1e-7, 4).as("accuracy"),
-          round(col("sensitivity") + 1e-7, 4).as("sensitivity"),
-          round(col("specificity") + 1e-7, 4).as("specificity"),
-          round(col("precision") + 1e-7, 4).as("precision"),
-          round(col("kappa") + 1e-7, 4).as("kappa"))),
+          round(col("accuracy") + 1.7e-8, 4).as("accuracy"),
+          round(col("sensitivity") + 1.7e-8, 4).as("sensitivity"),
+          round(col("specificity") + 1.7e-8, 4).as("specificity"),
+          round(col("precision") + 1.7e-8, 4).as("precision"),
+          round(col("kappa") + 1.7e-8, 4).as("kappa"))),
 
     // ---- A12 multi-class: k-level confusion, one-vs-rest stats, kappa ------
     // 3-class actual (order status F/O/P) vs a 3-class priority-derived
-    // prediction — the caret-confusionMatrix-on-a-3-level-factor analog
+    // prediction — the caret-confusionMatrix-on-a-3-level-factor analog.
+    // Epsilon is the house non-grid +1.7e-8 (FeaturePipeline convention),
+    // NOT +1e-7: the round-4 driver run flipped a 4-dp kappa boundary that
+    // the on-grid epsilon mapped values onto (the pe sum itself is now
+    // exact decimal, so every derived double is parallelism-independent)
     "a12_confusion_multi" -> ((s, d) =>
       Stats.confusionMulti(
         t(s, d, "orders").withColumn("seg", pmod(col("o_custkey"), lit(2)).cast("int")),
@@ -100,13 +104,13 @@ object QueriesR3 {
           .otherwise("O"))
         .select(col("seg"), col("cls"), col("tp"), col("n_actual"),
           col("n_predicted"),
-          round(col("sensitivity") + 1e-7, 4).as("sensitivity"),
-          round(col("specificity") + 1e-7, 4).as("specificity"),
-          round(col("precision") + 1e-7, 4).as("precision"),
-          round(col("f1") + 1e-7, 4).as("f1"),
-          round(col("balanced_accuracy") + 1e-7, 4).as("balanced_accuracy"),
-          round(col("accuracy") + 1e-7, 4).as("accuracy"),
-          round(col("kappa") + 1e-7, 4).as("kappa"))),
+          round(col("sensitivity") + 1.7e-8, 4).as("sensitivity"),
+          round(col("specificity") + 1.7e-8, 4).as("specificity"),
+          round(col("precision") + 1.7e-8, 4).as("precision"),
+          round(col("f1") + 1.7e-8, 4).as("f1"),
+          round(col("balanced_accuracy") + 1.7e-8, 4).as("balanced_accuracy"),
+          round(col("accuracy") + 1.7e-8, 4).as("accuracy"),
+          round(col("kappa") + 1.7e-8, 4).as("kappa"))),
 
     // ---- A13 multiple testing: p.adjust (bonferroni/holm/BH) + stars -------
     // the reference sweeps per-drug wilcox tests and feeds them through
@@ -125,12 +129,12 @@ object QueriesR3 {
           Stats.adjustPValues(df, Seq("lang"), "p_raw", m, c) }
       adj.withColumn("signif", Stats.significance(col("p_raw")))
         .select(col("doc_id"), col("lang"),
-          round(col("p_raw") + 1e-7, 4).as("p_raw"),
-          round(col("p_bh") + 1e-7, 4).as("p_bh"),
-          round(col("p_holm") + 1e-7, 4).as("p_holm"),
-          round(col("p_bonf") + 1e-7, 4).as("p_bonf"),
-          round(col("p_hoch") + 1e-7, 4).as("p_hoch"),
-          round(col("p_by") + 1e-7, 4).as("p_by"),
+          round(col("p_raw") + 1.7e-8, 4).as("p_raw"),
+          round(col("p_bh") + 1.7e-8, 4).as("p_bh"),
+          round(col("p_holm") + 1.7e-8, 4).as("p_holm"),
+          round(col("p_bonf") + 1.7e-8, 4).as("p_bonf"),
+          round(col("p_hoch") + 1.7e-8, 4).as("p_hoch"),
+          round(col("p_by") + 1.7e-8, 4).as("p_by"),
           col("signif"))
     }),
 
@@ -142,9 +146,9 @@ object QueriesR3 {
           .withColumn("obs", col("l_quantity")),
         Seq("l_returnflag"), "pred", "obs",
         trainPred = col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_returnflag"), round(col("rmse_z") + 1e-7, 4).as("rmse_z"),
-          round(col("mae_z") + 1e-7, 4).as("mae_z"),
-          round(col("pearson") + 1e-7, 4).as("pearson"), col("n")))
+        .select(col("l_returnflag"), round(col("rmse_z") + 1.7e-8, 4).as("rmse_z"),
+          round(col("mae_z") + 1.7e-8, 4).as("mae_z"),
+          round(col("pearson") + 1.7e-8, 4).as("pearson"), col("n")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -172,8 +176,8 @@ object QueriesR3 {
                     - tie / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE)))) AS z
             FROM u JOIN tie USING (l_linestatus))
           SELECT l_linestatus, n1, n2, round(u_stat, 2) AS u_stat,
-            round(z + 1e-7, 4) AS z,
-            round(${pSql("z")} + 1e-7, 4) AS p_value
+            round(z + 1.7e-8, 4) AS z,
+            round(${pSql("z")} + 1.7e-8, 4) AS p_value
           FROM zc""",
     "a13_signed_rank" ->
       s"""WITH d0 AS (SELECT l_linestatus,
@@ -197,8 +201,8 @@ object QueriesR3 {
                     - tie / 48.0) AS z
             FROM a)
           SELECT l_linestatus, n_nonzero, round(w_stat, 2) AS w_stat,
-            round(z + 1e-7, 4) AS z,
-            round(${pSql("z")} + 1e-7, 4) AS p_value
+            round(z + 1.7e-8, 4) AS z,
+            round(${pSql("z")} + 1.7e-8, 4) AS p_value
           FROM zc""",
     "a13_rank_sum_exact" ->
       """WITH f AS (SELECT CASE WHEN n_regionkey = 0 THEN 'A' ELSE 'B' END AS cls,
@@ -221,7 +225,7 @@ object QueriesR3 {
               WHEN 6 THEN 0.2222222222222222 WHEN 7 THEN 0.30952380952380953
               WHEN 8 THEN 0.42063492063492064 WHEN 9 THEN 0.5476190476190477
               WHEN 10 THEN 0.6904761904761905 WHEN 11 THEN 0.8412698412698413
-              ELSE 1.0 END + 1e-7, 6) AS p_value
+              ELSE 1.0 END + 1.7e-8, 6) AS p_value
           FROM k""",
     "a12_confusion_stats" ->
       """WITH b AS (SELECT CAST(o_custkey % 3 AS INTEGER) AS seg,
@@ -240,11 +244,11 @@ object QueriesR3 {
                    * CAST(tp + fp + fn + tn AS DOUBLE)) AS pe
             FROM c)
           SELECT seg, tp, fp, fn, tn,
-            round(po + 1e-7, 4) AS accuracy,
-            round(tp / CAST(tp + fn AS DOUBLE) + 1e-7, 4) AS sensitivity,
-            round(tn / CAST(tn + fp AS DOUBLE) + 1e-7, 4) AS specificity,
-            round(tp / CAST(tp + fp AS DOUBLE) + 1e-7, 4) AS precision,
-            round((po - pe) / (1.0 - pe) + 1e-7, 4) AS kappa
+            round(po + 1.7e-8, 4) AS accuracy,
+            round(tp / CAST(tp + fn AS DOUBLE) + 1.7e-8, 4) AS sensitivity,
+            round(tn / CAST(tn + fp AS DOUBLE) + 1.7e-8, 4) AS specificity,
+            round(tp / CAST(tp + fp AS DOUBLE) + 1.7e-8, 4) AS precision,
+            round((po - pe) / (1.0 - pe) + 1.7e-8, 4) AS kappa
           FROM k""",
     "a12_confusion_multi" ->
       """WITH b AS (SELECT CAST(o_custkey % 2 AS INTEGER) AS seg,
@@ -268,29 +272,29 @@ object QueriesR3 {
               ON acts.seg = prds.seg AND acts.cls = prds.cls),
           k AS (SELECT j.seg, j.cls, j.n_actual, j.n_predicted,
               COALESCE(tps.tp, 0) AS tp, tots.ntot, tots.diag,
-              sum(CAST(j.n_actual AS DOUBLE) * j.n_predicted)
-                OVER (PARTITION BY j.seg)
+              CAST(sum(CAST(j.n_actual AS HUGEINT) * j.n_predicted)
+                OVER (PARTITION BY j.seg) AS DOUBLE)
                 / (CAST(tots.ntot AS DOUBLE) * tots.ntot) AS pe
             FROM j LEFT JOIN tps ON j.seg = tps.seg AND j.cls = tps.cls
               JOIN tots ON j.seg = tots.seg)
           SELECT seg, cls, tp, n_actual, n_predicted,
             round(CASE WHEN n_actual > 0
-              THEN tp / CAST(n_actual AS DOUBLE) END + 1e-7, 4) AS sensitivity,
+              THEN tp / CAST(n_actual AS DOUBLE) END + 1.7e-8, 4) AS sensitivity,
             round(CASE WHEN ntot > n_actual
               THEN (ntot - n_actual - n_predicted + tp)
-                / CAST(ntot - n_actual AS DOUBLE) END + 1e-7, 4) AS specificity,
+                / CAST(ntot - n_actual AS DOUBLE) END + 1.7e-8, 4) AS specificity,
             round(CASE WHEN n_predicted > 0
-              THEN tp / CAST(n_predicted AS DOUBLE) END + 1e-7, 4) AS precision,
+              THEN tp / CAST(n_predicted AS DOUBLE) END + 1.7e-8, 4) AS precision,
             round(CASE WHEN tp > 0
               THEN 2.0 * tp / CAST(n_actual + n_predicted AS DOUBLE)
-              END + 1e-7, 4) AS f1,
+              END + 1.7e-8, 4) AS f1,
             round(CASE WHEN n_actual > 0 AND ntot > n_actual
               THEN (tp / CAST(n_actual AS DOUBLE)
                 + (ntot - n_actual - n_predicted + tp)
-                  / CAST(ntot - n_actual AS DOUBLE)) / 2 END + 1e-7, 4)
+                  / CAST(ntot - n_actual AS DOUBLE)) / 2 END + 1.7e-8, 4)
               AS balanced_accuracy,
-            round(diag / CAST(ntot AS DOUBLE) + 1e-7, 4) AS accuracy,
-            round((diag / CAST(ntot AS DOUBLE) - pe) / (1.0 - pe) + 1e-7, 4) AS kappa
+            round(diag / CAST(ntot AS DOUBLE) + 1.7e-8, 4) AS accuracy,
+            round((diag / CAST(ntot AS DOUBLE) - pe) / (1.0 - pe) + 1.7e-8, 4) AS kappa
           FROM k""",
     "a13_p_adjust" ->
       """WITH t AS (SELECT doc_id, lang,
@@ -309,12 +313,12 @@ object QueriesR3 {
               ORDER BY p_raw DESC, doc_id ROWS UNBOUNDED PRECEDING) AS hoch0,
             sum(1.0 / ra) OVER (PARTITION BY lang) AS cm
             FROM w)
-          SELECT doc_id, lang, round(p_raw + 1e-7, 4) AS p_raw,
-            round(least(1.0, bh0) + 1e-7, 4) AS p_bh,
-            round(least(1.0, holm0) + 1e-7, 4) AS p_holm,
-            round(least(1.0, p_raw * m) + 1e-7, 4) AS p_bonf,
-            round(least(1.0, hoch0) + 1e-7, 4) AS p_hoch,
-            round(least(1.0, cm * bh0) + 1e-7, 4) AS p_by,
+          SELECT doc_id, lang, round(p_raw + 1.7e-8, 4) AS p_raw,
+            round(least(1.0, bh0) + 1.7e-8, 4) AS p_bh,
+            round(least(1.0, holm0) + 1.7e-8, 4) AS p_holm,
+            round(least(1.0, p_raw * m) + 1.7e-8, 4) AS p_bonf,
+            round(least(1.0, hoch0) + 1.7e-8, 4) AS p_hoch,
+            round(least(1.0, cm * bh0) + 1.7e-8, 4) AS p_by,
             CASE WHEN p_raw <= 0.0001 THEN '****' WHEN p_raw <= 0.001 THEN '***'
                  WHEN p_raw <= 0.01 THEN '**' WHEN p_raw <= 0.05 THEN '*'
                  ELSE 'ns' END AS signif
@@ -329,9 +333,9 @@ object QueriesR3 {
               (pred - mu) / sigma AS pz, (obs - mu) / sigma AS oz
             FROM t JOIN s USING (l_returnflag) WHERE sigma > 0)
           SELECT l_returnflag,
-            round(sqrt(avg((pz - oz) * (pz - oz))) + 1e-7, 4) AS rmse_z,
-            round(avg(abs(pz - oz)) + 1e-7, 4) AS mae_z,
-            round(corr(pz, oz) + 1e-7, 4) AS pearson, count(*) AS n
+            round(sqrt(avg((pz - oz) * (pz - oz))) + 1.7e-8, 4) AS rmse_z,
+            round(avg(abs(pz - oz)) + 1.7e-8, 4) AS mae_z,
+            round(corr(pz, oz) + 1.7e-8, 4) AS pearson, count(*) AS n
           FROM z GROUP BY 1"""
   )
 }

@@ -11,10 +11,13 @@ import graft.operators.{Dedup, Similarity, Terms}
   * boilerplate removal (CCNet), benchmark decontamination (GPT-3 appendix
   * C), and semantic dedup over embeddings (SemDeDup) — plus TF-IDF term
   * ranking, the token-side analog of the reference's univariate feature
-  * ranking (`Fig-2C_D_plot_univariate.R`). All four carry full DuckDB
-  * oracles over the shared parquet tables (no dumps needed: line/gram
-  * construction, centroid choice, and the idf formula are engine-portable
-  * by construction).
+  * ranking (`Fig-2C_D_plot_univariate.R`). All carry full DuckDB oracles
+  * over the shared parquet tables — line/gram construction, the
+  * smallest-id centroid convention, and the idf formula are
+  * engine-portable by construction; the one exception is
+  * `dd_semantic_kmeans`, whose TRAINED centroids are engine-local float
+  * sums and therefore dumped (the [[graft.Dumps]] discipline), with the
+  * oracle replaying every downstream step over the dump.
   */
 object QueriesR4 {
 
@@ -58,6 +61,23 @@ object QueriesR4 {
     "dd_semantic" -> ((s, d) =>
       Similarity.semanticDedup(t(s, d, "embeddings"), "vec_id", "embedding",
         nlist = 16, minCos = 0.3)),
+
+    // ---- DD: SemDeDup over TRAINED k-means centroids -------------------------
+    // the production path: centroids come from Similarity.kmeansCentroids
+    // (offline Lloyd over the corpus) instead of the smallest-id
+    // convention. The trained centroids are engine-local (float sums), so
+    // they are DUMPED — like the LSH plane weights — and the oracle replays
+    // the whole downstream (cell assignment argmax, within-cell pair join,
+    // min-id survivor) over the dump, pinning the trained-centroid path
+    // cross-engine, not just the convention
+    "dd_semantic_kmeans" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 16, iters = 3)
+      Dumps.write(cents, "kmeans_cents")
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nlist = 16, minCos = 0.3, centroids = Some(cents))
+    }),
 
     // ---- TXT: top-k TF-IDF terms per document --------------------------------
     "txt_tfidf_topk" -> ((s, d) =>
@@ -137,6 +157,32 @@ object QueriesR4 {
         |SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS kept
         |FROM cell c LEFT JOIN dup d USING (vec_id)""".stripMargin,
 
+    "dd_semantic_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |cents AS (SELECT cent_id, CAST(cent_v AS DOUBLE[]) AS cv
+         |  FROM read_parquet('${Dumps.Dir}/kmeans_cents.parquet/*.parquet')),
+         |ca AS (SELECT e.vec_id, c.cent_id,
+         |    round(list_dot_product(v, cv) /
+         |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6)
+         |      AS ccos
+         |  FROM e CROSS JOIN cents c),
+         |cell AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, cent_id) AS rk
+         |    FROM ca) WHERE rk = 1),
+         |dup AS (SELECT b.vec_id, min(a.vec_id) AS dup_of
+         |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round(list_dot_product(ea.v, eb.v) /
+         |      (sqrt(list_dot_product(ea.v, ea.v)) *
+         |       sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.3
+         |  GROUP BY 1)
+         |SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS kept
+         |FROM cell c LEFT JOIN dup d USING (vec_id)""".stripMargin,
+
     "txt_tfidf_topk" ->
       s"""WITH $ToksCte,
          |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
@@ -151,16 +197,22 @@ object QueriesR4 {
          |    ORDER BY tfidf DESC, term) AS rk
          |FROM scored QUALIFY rk <= 5""".stripMargin,
 
+    // q mirrors the engine's per-term fixed-point quantization (1e-9 grid,
+    // HALF_UP == DuckDB round-away-from-zero); the doc sum is then exact
+    // integer arithmetic in both engines, so summation order cannot move it
     "txt_unigram_nll" ->
       s"""WITH $ToksCte,
          |tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
          |tfc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
          |vocab AS (SELECT term, sum(tf) AS cnt FROM tfc GROUP BY 1),
-         |tot AS (SELECT sum(cnt) AS t FROM vocab)
+         |tot AS (SELECT sum(cnt) AS t FROM vocab),
+         |lq AS (SELECT term, CAST(round(ln(cnt / t) * 1e9) AS BIGINT) AS q
+         |  FROM vocab CROSS JOIN tot)
          |SELECT doc_id,
-         |  round(-sum(tf * ln(cnt / t)) / sum(tf), 6) AS nll,
+         |  round(-CAST(sum(CAST(tf AS HUGEINT) * q) AS DOUBLE) / 1e9
+         |    / CAST(sum(tf) AS DOUBLE) + 1.7e-8, 6) AS nll,
          |  sum(tf) AS n_tokens
-         |FROM tfc JOIN vocab USING (term) CROSS JOIN tot
+         |FROM tfc JOIN lq USING (term)
          |GROUP BY 1""".stripMargin
   )
 }

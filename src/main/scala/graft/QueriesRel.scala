@@ -33,8 +33,8 @@ object QueriesRel {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")) + 1e-7, 4).as("avg_qty"),
-          round(avg(col("l_discount")) + 1e-7, 4).as("avg_disc"),
+          round(avg(col("l_quantity")) + 1.7e-8, 4).as("avg_qty"),
+          round(avg(col("l_discount")) + 1.7e-8, 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -59,7 +59,7 @@ object QueriesRel {
     // ---- P6: zero-variance feature filter ---------------------------------
     "p6_variance_filter" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_partkey"))
-        .agg(round(var_samp(col("l_quantity")) + 1e-7, 4).as("var_qty"),
+        .agg(round(var_samp(col("l_quantity")) + 1.7e-8, 4).as("var_qty"),
           count(lit(1)).as("n"))
         .filter(col("var_qty") > 0)),
 
@@ -125,7 +125,7 @@ object QueriesRel {
       val a = li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
       val b = li.groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(avg(col("l_discount")) + 1e-7, 4).as("avg_disc"))
+        .agg(round(avg(col("l_discount")) + 1.7e-8, 4).as("avg_disc"))
       a.join(b, Seq("l_returnflag", "l_linestatus"))
     }),
 
@@ -184,8 +184,8 @@ object QueriesRel {
          round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
          round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
          round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
-         round(CAST(avg(l_quantity) AS DOUBLE) + 1e-7, 4) AS avg_qty,
-         round(CAST(avg(l_discount) AS DOUBLE) + 1e-7, 4) AS avg_disc,
+         round(CAST(avg(l_quantity) AS DOUBLE) + 1.7e-8, 4) AS avg_qty,
+         round(CAST(avg(l_discount) AS DOUBLE) + 1.7e-8, 4) AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus""",
@@ -198,7 +198,7 @@ object QueriesRel {
       """SELECT event_id, round(value, 4) AS value FROM events
          WHERE value IS NOT NULL AND props IS NOT NULL""",
     "p6_variance_filter" ->
-      """SELECT l_partkey, round(var_samp(l_quantity) + 1e-7, 4) AS var_qty, count(*) AS n
+      """SELECT l_partkey, round(var_samp(l_quantity) + 1.7e-8, 4) AS var_qty, count(*) AS n
          FROM lineitem GROUP BY l_partkey HAVING var_samp(l_quantity) > 0""",
     "p7_low_info_filter" ->
       """SELECT event_type, count(DISTINCT round(value, 1)) AS n_distinct
@@ -235,7 +235,7 @@ object QueriesRel {
                     round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
                     FROM lineitem GROUP BY 1, 2),
               b AS (SELECT l_returnflag, l_linestatus,
-                    round(CAST(avg(l_discount) AS DOUBLE) + 1e-7, 4) AS avg_disc
+                    round(CAST(avg(l_discount) AS DOUBLE) + 1.7e-8, 4) AS avg_disc
                     FROM lineitem GROUP BY 1, 2)
          SELECT a.l_returnflag, a.l_linestatus, a.sum_qty, b.avg_disc
          FROM a JOIN b USING (l_returnflag, l_linestatus)""",

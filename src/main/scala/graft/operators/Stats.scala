@@ -567,8 +567,13 @@ object Stats {
     * Scale shape: ONE map-side-combinable aggregation over the fact table
     * (k² cells per group); everything after operates on cell counts —
     * three tiny re-aggregations, two coalescing joins, and a window over
-    * the ≤k class rows per group. Expected-agreement products run in
-    * double (Long would overflow at n ~ 10^12 × k-class margins).
+    * the ≤k class rows per group. The expected-agreement numerator
+    * Σ n_actual_k·n_predicted_k sums in decimal(38,0): Long overflows at
+    * n ~ 10^12 × k-class margins (10^24-scale products) and a double sum
+    * is partial-aggregation-ORDER-sensitive — round 4 measured exactly
+    * that, a different partition count flipping a 4-dp rounding boundary
+    * of kappa. Decimal is both exact and associative, so kappa is
+    * bit-identical at any parallelism.
     */
   def confusionMulti(df: DataFrame, group: Seq[String], actual: Column,
       predicted: Column): DataFrame = {
@@ -590,8 +595,9 @@ object Stats {
       .partitionBy(group.map(col): _*)
     val n = col("__ntot").cast("double")
     val po = col("__diag") / n
-    val pe = sum(col("n_actual").cast("double") * col("n_predicted")).over(wG) /
-      (n * n)
+    val pe = sum((col("n_actual").cast("decimal(19,0)") *
+        col("n_predicted").cast("decimal(19,0)")).cast("decimal(38,0)"))
+      .over(wG).cast("double") / (n * n)
     actuals
       .join(preds, key, "full_outer")
       .join(tps, key, "left_outer")
