@@ -255,7 +255,8 @@ object Bench {
     */
   private def multiJvmScaling(corpusPath: String, warmPath: String,
       corpusRows: Long, threadDigest: Long,
-      threadTwinMins: Option[(Double, Double)]): Option[(String, String)] = {
+      threadTwinMins: Option[(Double, Double)],
+      deadlineNanos: Long): Option[(String, String)] = {
     // 2 visits by default (r4 ran 3 and the bench exceeded the driver's
     // wall budget — rc 124, NO artifact); the twin-based stall-recovery
     // below still extends a contaminated level by up to maxExtra visits,
@@ -293,7 +294,13 @@ object Bench {
             failed = true
         }
       }
-      for (_ <- 0 until visits if !failed) oneVisit("visit")
+      // wall-budget guard (round 5): tonight-class stall storms can stretch
+      // a single visit to 10+ min; never START a visit past the deadline —
+      // a driver-side kill mid-visit would lose nothing (the incremental
+      // artifact already holds every finished part), but finishing early
+      // keeps the FINAL emit (and the multi-JVM section itself) alive
+      def pastDeadline: Boolean = System.nanoTime() > deadlineNanos
+      for (_ <- 0 until visits if !failed && !pastDeadline) oneVisit("visit")
       // threadTwinMins is None when the thread pair ran at non-default
       // core counts (env override): the 1.25x-twin heuristic is only
       // meaningful when the thread levels used the SAME core counts as
@@ -301,7 +308,7 @@ object Bench {
       def stalled: Boolean = threadTwinMins.exists { case (tsMin, tbMin) =>
         tBig > tbMin * 1.25 || tSmall > tsMin * 1.25
       }
-      while (!failed && extraUsed < maxExtra && stalled) {
+      while (!failed && extraUsed < maxExtra && stalled && !pastDeadline) {
         extraUsed += 1
         oneVisit(s"stall-recovery visit $extraUsed")
       }
@@ -388,6 +395,16 @@ object Bench {
     // stall-shaped (below, bounded) — extra draws only add samples to a
     // minimum estimator, so the extension can de-noise but never bias.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
+    // Wall budget (round 5): the driver kills the bench at a fixed wall cap
+    // (r4 died there with NO artifact; the 2026-08-19 builder run measured a
+    // stall storm stretching single multi-JVM visits to 10+ min and the
+    // default protocol to 69 min). The bench self-limits instead: work after
+    // the thread pair — extra recovery visits, multi-JVM visits — never
+    // STARTS past a deadline, dropping lowest-priority evidence first while
+    // the artifact stays complete and parseable.
+    val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "2400").toLong
+    val startNanos = System.nanoTime()
+    def elapsedSec: Long = (System.nanoTime() - startNanos) / 1000000000L
 
     // --- part 1: headline testdata queries at full parallelism -------------
     val headline = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
@@ -518,7 +535,10 @@ object Bench {
     def effNow = (tSmall / tBig) / ratio
     def effMed3Now = (med3(repsSmall.toSeq) / med3(repsBig.toSeq)) / ratio
     var extraPair = 0
-    while (extraPair < maxExtraPair && (effNow < 0.82 || effMed3Now < 0.8)) {
+    // the pair is the PRIMARY gate evidence, so its recovery gets the first
+    // 70% of the wall budget before yielding to the remaining parts
+    while (extraPair < maxExtraPair && (effNow < 0.82 || effMed3Now < 0.8)
+        && elapsedSec < wallBudgetSec * 7 / 10) {
       extraPair += 1
       System.err.println(f"[bench] thread-pair efficiency ${effNow}%.3f " +
         f"(med3 ${effMed3Now}%.3f) reads stall-shaped — recovery visit $extraPair")
@@ -642,7 +662,8 @@ object Bench {
         multiJvmScaling(corpusPath, warmPath, corpusRows, digBig,
           // twin mins for stall recovery only when the thread pair ran at
           // the local-cluster levels' core counts (2 and 8 — the default)
-          if (smallCores == 2 && bigCores == 8) Some((tSmall, tBig)) else None)
+          if (smallCores == 2 && bigCores == 8) Some((tSmall, tBig)) else None,
+          startNanos + wallBudgetSec * 1000000000L)
       else None
     multiJvmJson = multiJvm.map(_._1)
     emit(complete = true)
