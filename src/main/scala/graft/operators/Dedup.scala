@@ -460,25 +460,136 @@ object Dedup {
     * stays present with clean_text = ''. Blank/whitespace-only lines are
     * dropped as noise (they would otherwise all collide on one hash).
     *
-    * Scale shape — three linear equi-shuffles, no quadratic step:
-    *  1. the global line document-frequency aggregates over the 8-byte
-    *     line hash with map-side combine (the shuffle carries
-    *     (hash, count), never line text);
+    * Scale shape — ONE corpus-sized shuffle of 8-byte keys, zero text
+    * shuffles on the default path:
+    *  1. each document's DISTINCT line-hash set is built document-locally
+    *     (split → trim-filter → hash → array_distinct, all array ops on the
+    *     unexploded text), so the global line document-frequency shuffles
+    *     only (hash, partial count) with map-side combine — line text never
+    *     enters an exchange;
     *  2. the over-threshold hash set — tiny by Zipf (boilerplate is few
-    *     distinct lines, many occurrences) — anti-joins the posting list;
-    *  3. reassembly is one per-document aggregation whose ordering is an
-    *     in-group array_sort over (pos, line) structs — no global sort.
+    *     distinct lines, many occurrences; CCNet reports ~few hundred
+    *     thousand distinct boilerplate lines per snapshot) — is collected
+    *     under the `maxBroadcastLines` rail, sorted, and broadcast, making
+    *     removal + reassembly a PURE per-document projection: one
+    *     binary-search pass per line inside a typed kernel that uses the
+    *     same `UTF8String.trim` + Catalyst `XXH64(seed=42)` as the
+    *     expression `xxhash64(trim(line))`, so blank-classification and
+    *     hashing are bit-equal to the expression path by construction
+    *     (asserted against it in PipelineR4Spec);
+    *  3. if the over-threshold set overflows the rail (pathological, e.g.
+    *     maxDocs=0), fall back to the round-4 shuffle shape: broadcast-anti
+    *     join on the hash posting list + per-document array_sort
+    *     reassembly — still no quadratic step, but the kept line text
+    *     crosses one exchange.
     */
+  /** Per-document DISTINCT trimmed-line hashes in one typed pass — the
+    * kernel twin of `array_distinct(transform(filter(split(text, sep),
+    * len(trim) > 0), xxhash64(trim)))` (which evaluates four interpreted
+    * expression trees per line; the same HOF-vs-kernel trade as
+    * [[gramHashesFast]]). Bit-equality is by construction — the kernel
+    * splits on the literal separator and uses the very
+    * `UTF8String.trim` + Catalyst `XXH64(seed=42)` the expressions run —
+    * and is asserted against the expression formulation (which the
+    * [[dedupLinesShuffle]] fallback still uses) in PipelineR4Spec.
+    */
+  private def lineHashesFast(sep: String): UserDefinedFunction = udf { (t: String) =>
+    if (t == null) Array.empty[Long]
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sl = sep.length
+      var from = 0
+      var done = false
+      while (!done) {
+        val nxt = t.indexOf(sep, from)
+        val end = if (nxt < 0) t.length else nxt
+        val u = org.apache.spark.unsafe.types.UTF8String
+          .fromString(t.substring(from, end)).trim()
+        if (u.numBytes > 0)
+          out += XXH64.hashUnsafeBytes(
+            u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+        if (nxt < 0) done = true else from = nxt + sl
+      }
+      val a = out.toArray
+      java.util.Arrays.sort(a)
+      var w = 0
+      var r = 1
+      while (r < a.length) {
+        if (a(r) != a(w)) { w += 1; a(w) = a(r) }
+        r += 1
+      }
+      if (a.isEmpty) a
+      else if (w + 1 == a.length) a
+      else java.util.Arrays.copyOf(a, w + 1)
+    }
+  }
+
   def dedupLines(df: DataFrame, id: String, text: String,
-      sep: String = "\n", maxDocs: Long = 1): DataFrame = {
+      sep: String = "\n", maxDocs: Long = 1,
+      maxBroadcastLines: Int = 4 << 20): DataFrame = {
+    // per-document distinct hash set, document-locally: a line repeated
+    // WITHIN one document counts once toward the cross-document frequency
+    val common = df
+      .select(explode(lineHashesFast(sep)(col(text))).as("__lh"))
+      .groupBy("__lh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocs)
+      .select("__lh")
+    val probe = common.limit(maxBroadcastLines + 1).collect().map(_.getLong(0))
+    if (probe.length <= maxBroadcastLines) {
+      java.util.Arrays.sort(probe)
+      val bc = df.sparkSession.sparkContext.broadcast(probe)
+      val sepLocal = sep
+      val rebuild = udf { (t: String) =>
+        if (t == null) ("", 0L, 0L)
+        else {
+          val drop = bc.value
+          val keep = new java.lang.StringBuilder
+          var nKept = 0L
+          var nLines = 0L
+          val sl = sepLocal.length
+          var from = 0
+          var done = false
+          while (!done) {
+            val nxt = t.indexOf(sepLocal, from)
+            val end = if (nxt < 0) t.length else nxt
+            val u = org.apache.spark.unsafe.types.UTF8String
+              .fromString(t.substring(from, end)).trim()
+            if (u.numBytes > 0) {
+              nLines += 1
+              val h = XXH64.hashUnsafeBytes(
+                u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+              if (java.util.Arrays.binarySearch(drop, h) < 0) {
+                if (nKept > 0) keep.append(sepLocal)
+                keep.append(t, from, end)
+                nKept += 1
+              }
+            }
+            if (nxt < 0) done = true else from = nxt + sl
+          }
+          (keep.toString, nKept, nLines)
+        }
+      }
+      df.select(col(id), rebuild(col(text)).as("__c"))
+        .select(col(id),
+          col("__c._1").as("clean_text"),
+          col("__c._2").as("n_kept"),
+          (col("__c._3") - col("__c._2")).as("n_removed"))
+    } else dedupLinesShuffle(df, id, text, sep, maxDocs)
+  }
+
+  /** Fallback reassembly for [[dedupLines]] when the over-threshold line
+    * set overflows the broadcast rail: anti-join the posting list on the
+    * 8-byte hash, reassemble per document via in-group array_sort. Same
+    * output, one extra exchange carrying the kept line text.
+    */
+  private def dedupLinesShuffle(df: DataFrame, id: String, text: String,
+      sep: String, maxDocs: Long): DataFrame = {
     val sepQ = java.util.regex.Pattern.quote(sep)
     val lines = df
       .select(col(id),
         posexplode(split(col(text), sepQ)).as(Seq("__pos", "__line")))
       .where(length(trim(col("__line"))) > 0)
       .withColumn("__lh", xxhash64(trim(col("__line"))))
-    // distinct (doc, hash) first so a line repeated WITHIN one document
-    // counts once toward the cross-document frequency
     val common = lines.select(col(id), col("__lh")).distinct()
       .groupBy("__lh").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocs)

@@ -57,6 +57,40 @@ class PipelineR4Spec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("n_removed") == 0L))
   }
 
+  test("dedupLines broadcast kernel ≡ shuffle fallback on adversarial inputs") {
+    // the fast path classifies blanks and hashes lines in a typed kernel
+    // (UTF8String.trim + XXH64) that must be bit-equal to the expression
+    // path (trim + xxhash64) the fallback uses; probe the boundary cases:
+    // tab/NBSP/control-char "blanks" (Spark trim strips ASCII <= 0x20,
+    // NOT U+00A0), interior/trailing spaces, multi-byte UTF-8, trailing
+    // separators, within-doc repeats, docs losing everything, null text
+    val d = Seq(
+      (1L, "SHARED\n\tSHARED\nSHARED \n   \nuniqueé 世界"),
+      (2L, "SHARED\n\nx\ny\n"),
+      (3L, " SHARED \n\nonly3"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "x\nx\nSHARED")
+    ).toDF("doc_id", "text")
+    for (maxDocs <- Seq(0L, 1L, 2L)) {
+      val fast = Dedup.dedupLines(d, "doc_id", "text", maxDocs = maxDocs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1)
+      val slow = Dedup.dedupLines(d, "doc_id", "text", maxDocs = maxDocs,
+          maxBroadcastLines = 0) // force the shuffle fallback
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1)
+      assert(fast.sameElements(slow), s"paths diverge at maxDocs=$maxDocs")
+    }
+  }
+
+  test("dedupLines rail overflow falls back (maxBroadcastLines=0) and still dedups") {
+    val d = Seq((1L, "c\nu1"), (2L, "c\nu2")).toDF("doc_id", "text")
+    val r = Dedup.dedupLines(d, "doc_id", "text", maxBroadcastLines = 0)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[String]("clean_text")).toMap
+    assert(r == Map(1L -> "u1", 2L -> "u2"))
+  }
+
   // ---------- decontaminate ---------------------------------------------------
 
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
