@@ -12,11 +12,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     QueriesRel.all ++ QueriesAgg.all ++ QueriesText.all ++ QueriesCorpus.all ++
-      QueriesMisc.all ++ QueriesExt.all ++ QueriesR3.all ++ QueriesR4.all
+      QueriesMisc.all ++ QueriesExt.all ++ QueriesR3.all ++ QueriesR4.all ++
+      QueriesR5.all
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     QueriesRel.oracle ++ QueriesAgg.oracle ++ QueriesText.oracle ++
       QueriesMisc.oracle ++ QueriesCorpus.oracle ++ QueriesExt.oracle ++
-      QueriesR3.oracle ++ QueriesR4.oracle
+      QueriesR3.oracle ++ QueriesR4.oracle ++ QueriesR5.oracle
 }
