@@ -55,7 +55,9 @@ object Bench {
     // session-4 curation ops (line dedup / decontamination / SemDeDup /
     // TF-IDF / unigram NLL) so their cost is tracked round-over-round
     "dd_line_dedup", "dd_decontaminate", "dd_semantic", "txt_tfidf_topk",
-    "txt_unigram_nll")
+    "txt_unigram_nll",
+    // round-5 model-based quality classifier (train + score in one call)
+    "txt_quality_classifier")
 
   private val CorpusShufflePartitions = 128
 

@@ -1,22 +1,35 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.Quality
+import graft.operators.{Curation, Quality}
 
-/** Round-5 addition: model-based quality filtering — the classifier gate of
-  * the modern curation stack (GPT-3 app. A LR filter, CCNet fastText gate,
-  * DCLM/FineWeb-Edu quality classifiers). The query trains the NB
-  * log-count-ratio model ON the documents corpus from a deterministic weak
-  * label (verbosity: token count > 40 — splits every test scale ~2:1) and
-  * scores every document. DuckDB replays TRAINING AND INFERENCE end to end
-  * from integer counts: tokens and the weak label are recomputed in SQL,
-  * bucketing comes from the dumped vocab-sized (term, bucket) map (DuckDB
-  * cannot xxhash64 — the [[Dumps]] discipline), and the 1e-6 fixed-point
-  * weight quantization makes every per-document sum an exact BIGINT fold
-  * on both engines.
+/** Round-5 additions: the heuristic + model-based quality-filtering layer
+  * of the modern curation stack.
+  *
+  * `txt_quality_classifier` — the classifier gate (GPT-3 app. A LR filter,
+  * CCNet fastText gate, DCLM/FineWeb-Edu quality classifiers): trains the
+  * NB log-count-ratio model ON the documents corpus from a deterministic
+  * weak label (verbosity: token count > 40 — splits every test scale ~2:1)
+  * and scores every document. DuckDB replays TRAINING AND INFERENCE end to
+  * end from integer counts: tokens and the weak label are recomputed in
+  * SQL, bucketing comes from the dumped vocab-sized (term, bucket) map
+  * (DuckDB cannot xxhash64 — the [[Dumps]] discipline), and the 1e-6
+  * fixed-point weight quantization makes every per-document sum an exact
+  * BIGINT fold on both engines.
+  *
+  * `txt_c4_clean` / `txt_gopher_gate` / `txt_pii_redact` — the rule-based
+  * gates ([[Curation]]). The synthetic documents are single-line,
+  * punctuation-free word salad, so where a rule needs structure to bite
+  * the query PLANTS it deterministically (the `mm_quality_gate`
+  * discipline): C4 gets line breaks + terminal periods by rewriting two
+  * frequent corpus words into boundaries, plus lorem-ipsum / brace pages
+  * on fixed doc_id residues; PII gets emails / phones / IPs appended on
+  * fixed residues. The oracle replays every plant with the same string
+  * algebra, so the cross-engine check pins that each rule fires exactly
+  * on the planted pattern.
   */
 object QueriesR5 {
 
@@ -26,12 +39,56 @@ object QueriesR5 {
   private val Dim = 4096
   private val LabelMinTokens = 40
 
+  /** C4 plant: ' table ' → '.\n' (the PREVIOUS line gains a terminal
+    * period), ' value ' → '\n' (an unpunctuated boundary), and whole-page
+    * poison lines on fixed residues.
+    */
+  private def c4Planted: Column = {
+    val base = regexp_replace(
+      regexp_replace(col("text"), " table ", ".\n"), " value ", "\n")
+    concat(base,
+      when(col("doc_id") % 17 === 0,
+        lit("\nthis page contains Lorem Ipsum filler content here."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 23 === 0, lit("\nif (x) { return x }"))
+        .otherwise(lit("")))
+  }
+
+  /** PII plant: email on doc_id%5, phone on %7, IPv4 on %11 (composites get
+    * several classes); everything else keeps its original PII-free text as
+    * the negative control.
+    */
+  private def piiPlanted: Column = concat(col("text"),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" reach user"), col("doc_id").cast("string"), lit("@mail"),
+        (col("doc_id") % 7).cast("string"), lit(".example.com soon")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 7 === 0, lit(" call 555-867-5309 now"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 11 === 0,
+      concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"),
+        lit(".25 port 80"))).otherwise(lit("")))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_quality_classifier" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dumps.write(Quality.bucketMap(docs, "text", Dim), "nb_buckets")
       Quality.nbClassifierScore(docs, "doc_id", "text",
         size(Text.tokens(col("text"))) > LabelMinTokens, dim = Dim)
+    }),
+
+    "txt_c4_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text", c4Planted)
+      Curation.c4Clean(docs, "doc_id", "text")
+    }),
+
+    "txt_gopher_gate" -> ((s, d) =>
+      Curation.gopherGate(t(s, d, "documents"), "doc_id", "text",
+        stopwords = Seq("the", "a"), minWords = 25, maxDupFrac = 0.6)),
+
+    "txt_pii_redact" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text", piiPlanted)
+      Curation.piiRedact(docs, "doc_id", "text")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -65,5 +122,98 @@ object QueriesR5 {
          |  coalesce(s.ng, 0) AS n_terms,
          |  round((coalesce(s.sw, 0) + b.bq) / 1e6 + 1.7e-8, 6) AS score,
          |  round((coalesce(s.sw, 0) + b.bq) / 1e6 + 1.7e-8, 6) > 0 AS pred
-         |FROM lab l LEFT JOIN s USING (doc_id) CROSS JOIN b""".stripMargin)
+         |FROM lab l LEFT JOIN s USING (doc_id) CROSS JOIN b""".stripMargin,
+
+    // replay the plant (replace/concat string algebra), then the C4 line
+    // rules (terminal punct + >=5 words) and the page rules in the exact
+    // c4Clean order: lorem_ipsum -> brace -> too_few_lines -> pass
+    "txt_c4_clean" ->
+      """WITH pl AS (SELECT doc_id,
+        |    replace(replace(text, ' table ', '.' || chr(10)), ' value ', chr(10))
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN chr(10) || 'this page contains Lorem Ipsum filler content here.'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 23 = 0
+        |         THEN chr(10) || 'if (x) { return x }' ELSE '' END AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, t,
+        |    string_split(t, chr(10)) AS lines,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      right(rtrim(l), 1) IN ('.', '!', '?', '"') AND
+        |      len(list_filter(string_split_regex(trim(l), '\s+'), x -> x <> '')) >= 5
+        |    ) AS kept
+        |  FROM pl),
+        |v AS (SELECT doc_id, coalesce(len(lines), 0) AS n_lines,
+        |    coalesce(len(kept), 0) AS n_kept, kept,
+        |    CASE WHEN t IS NULL THEN 'missing_text'
+        |         WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+        |         WHEN contains(t, '{') THEN 'brace'
+        |         WHEN len(kept) < 3 THEN 'too_few_lines'
+        |         END AS reject_reason
+        |  FROM g)
+        |SELECT doc_id, n_lines, n_kept, reject_reason,
+        |  reject_reason IS NULL AS keep,
+        |  CASE WHEN reject_reason IS NULL THEN array_to_string(kept, chr(10))
+        |       ELSE '' END AS cleaned_text
+        |FROM v""".stripMargin,
+
+    // Gopher rules in gopherGate order over the raw documents; rounding is
+    // the house round(x + 1.7e-8, 4)
+    "txt_gopher_gate" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, coalesce(len(tk), 0) AS wc,
+        |    CASE WHEN len(tk) > 0 THEN
+        |      list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk)
+        |      ELSE 0.0 END AS mwl,
+        |    CASE WHEN len(tk) > 0 THEN
+        |      len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk)
+        |      ELSE 0.0 END AS af,
+        |    coalesce(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+        |      ['the', 'a'])), 0) AS ns,
+        |    CASE WHEN len(tk) > 0 THEN
+        |      1.0 - len(list_distinct(tk)) * 1.0 / len(tk) ELSE 0.0 END AS df
+        |  FROM t)
+        |SELECT doc_id, wc AS word_count,
+        |  round(mwl + 1.7e-8, 4) AS mean_word_len,
+        |  round(af + 1.7e-8, 4) AS alpha_frac,
+        |  ns AS n_stopwords,
+        |  round(df + 1.7e-8, 4) AS dup_frac,
+        |  CASE WHEN wc < 25 THEN 'too_few_words'
+        |       WHEN wc > 100000 THEN 'too_many_words'
+        |       WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
+        |       WHEN af < 0.8 THEN 'non_alpha_words'
+        |       WHEN ns < 2 THEN 'stopwords'
+        |       WHEN df > 0.6 THEN 'repetition'
+        |       END AS reject_reason,
+        |  (CASE WHEN wc < 25 THEN 'x' WHEN wc > 100000 THEN 'x'
+        |        WHEN mwl < 3.0 OR mwl > 10.0 THEN 'x' WHEN af < 0.8 THEN 'x'
+        |        WHEN ns < 2 THEN 'x' WHEN df > 0.6 THEN 'x' END) IS NULL AS keep
+        |FROM m""".stripMargin,
+
+    // replay the PII plant, count each class on the planted original, then
+    // redact email -> ip -> phone (DuckDB regexp_replace needs the 'g' flag;
+    // Spark replaces all matches by default)
+    "txt_pii_redact" ->
+      """WITH pl AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com soon'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309 now' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |         || '.25 port 80' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS n_email,
+        |  len(regexp_extract_all(t, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t, '\+?\d{3}[- ]\d{3}[- ]\d{4}')) AS n_phone,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted_text
+        |FROM pl""".stripMargin)
 }

@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Heuristic corpus-curation gates — the rule-based filtering layer of the
+  * web-scale training-data stack that runs BEFORE the model-based classifier
+  * ([[Quality.nbClassifierScore]]): C4's line-level cleaning (Raffel et al.
+  * 2020, §2.2), Gopher's document-quality rules (Rae et al. 2021, §A.1.1),
+  * and C4-style PII redaction. The reference's analog is its threshold /
+  * blacklist feature gates (`train_functions.R:8-26`,
+  * `Fig-2C_D_plot_univariate.R` filters) applied per-row.
+  *
+  * Scale shape: every operator here is a PURE PROJECTION — split / filter /
+  * aggregate over per-row arrays and regexes, all codegen'd Catalyst
+  * built-ins, zero shuffle at any corpus size (the same
+  * embarrassingly-parallel contract as [[graft.functions.Text.dupWordFrac]]).
+  * Nothing document-keyed ever exchanges; 10^12 documents cost exactly
+  * 10^12 / cores row visits.
+  *
+  * Determinism: every emitted float is rounded with the house non-grid
+  * epsilon (`round(x + 1.7e-8, d)`) and every rule is an exact string /
+  * integer predicate, so outputs are bit-identical at any parallelism and
+  * replayable in ANSI SQL by a cross-engine oracle.
+  */
+object Curation {
+
+  /** C4 line-level cleaning + page gates (Raffel et al. 2020 §2.2).
+    * Contract: `text`'s lines are '\n'-separated. Line rules (both must
+    * hold to keep a line): ends in a terminal punctuation mark
+    * (`. ! ? "`) after right-trim, and has at least `minLineWords`
+    * whitespace tokens. Page rules, first failing wins:
+    * 'lorem_ipsum' (placeholder text anywhere, case-insensitive),
+    * 'brace' (a `{` anywhere — code, not prose), 'too_few_lines'
+    * (fewer than `minKeptLines` surviving lines). Output one row per
+    * input document: (id, n_lines, n_kept, reject_reason NULL=pass,
+    * keep, cleaned_text — kept lines re-joined, empty string when the
+    * page is rejected so downstream never trains on a rejected page).
+    */
+  def c4Clean(df: DataFrame, id: String, text: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val t = col(text)
+    val lines = split(t, "\n", -1)
+    val keepLine = (l: Column) =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(Text.tokens(l)) >= minLineWords
+    val kept = filter(lines, keepLine)
+    val reason = when(t.isNull, "missing_text")
+      .when(lower(t).contains("lorem ipsum"), "lorem_ipsum")
+      .when(t.contains("{"), "brace")
+      .when(size(kept) < minKeptLines, "too_few_lines")
+    df.select(col(id),
+      coalesce(size(lines), lit(0)).as("n_lines"),
+      coalesce(size(kept), lit(0)).as("n_kept"),
+      reason.as("reject_reason"),
+      reason.isNull.as("keep"),
+      when(reason.isNull, array_join(kept, "\n")).otherwise(lit(""))
+        .as("cleaned_text"))
+  }
+
+  /** Gopher document-quality gate (Rae et al. 2021 §A.1.1), first failing
+    * rule wins — the [[graft.multimodal.Multimodal.qualityGate]] discipline
+    * for text. Rules in order: word count outside [minWords, maxWords];
+    * mean word length outside [3, 10]; fraction of tokens containing an
+    * alphabetic character below `minAlphaFrac`; fewer than 2 DISTINCT
+    * required function words present (Gopher's stop-word rule); duplicate
+    * token fraction above `maxDupFrac` (the §A.1.1 repetition family,
+    * collapsed to the word-level signal — bigram/line variants are in
+    * `txt_repetition`). Emits the measured signals alongside the verdict
+    * so rejections are auditable.
+    */
+  def gopherGate(df: DataFrame, id: String, text: String,
+      stopwords: Seq[String], minWords: Int = 50, maxWords: Int = 100000,
+      minAlphaFrac: Double = 0.8, maxDupFrac: Double = 0.5): DataFrame = {
+    val t = col(text)
+    val toks = Text.tokens(t)
+    val wc = coalesce(size(toks), lit(0))
+    val mwl = when(wc > 0,
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") / wc)
+      .otherwise(lit(0.0))
+    val alphaFrac = when(wc > 0,
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") / wc)
+      .otherwise(lit(0.0))
+    val nStop = coalesce(
+      size(array_intersect(array_distinct(transform(toks, lower _)),
+        array(stopwords.map(lit(_)): _*))), lit(0))
+    val dupFrac = Text.dupWordFrac(t)
+    val reason = when(t.isNull, "missing_text")
+      .when(wc < minWords, "too_few_words")
+      .when(wc > maxWords, "too_many_words")
+      .when(mwl < 3.0 || mwl > 10.0, "word_length")
+      .when(alphaFrac < minAlphaFrac, "non_alpha_words")
+      .when(nStop < 2, "stopwords")
+      .when(dupFrac > maxDupFrac, "repetition")
+    df.select(col(id),
+      wc.as("word_count"),
+      round(mwl + 1.7e-8, 4).as("mean_word_len"),
+      round(alphaFrac + 1.7e-8, 4).as("alpha_frac"),
+      nStop.as("n_stopwords"),
+      round(dupFrac + 1.7e-8, 4).as("dup_frac"),
+      reason.as("reject_reason"),
+      reason.isNull.as("keep"))
+  }
+
+  // PII patterns shared by redaction and counting. RE2/Java-regex common
+  // subset ONLY (\b, \d, character classes, bounded repeats, non-capturing
+  // groups) so a cross-engine oracle replays them verbatim.
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
+
+  /** C4-style PII scrub: replace emails, IPv4 addresses, and phone numbers
+    * with typed placeholders and count each class (counted on the ORIGINAL
+    * text, so the counts are audit totals independent of redaction order).
+    * Redaction order email → ip → phone; the three patterns are mutually
+    * non-overlapping by construction (the phone separator class excludes
+    * '.', so an IPv4 octet run can never half-match as a phone).
+    */
+  def piiRedact(df: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+    df.select(col(id),
+      coalesce(regexp_count(t, lit(EmailPattern)), lit(0L)).as("n_email"),
+      coalesce(regexp_count(t, lit(Ipv4Pattern)), lit(0L)).as("n_ip"),
+      coalesce(regexp_count(t, lit(PhonePattern)), lit(0L)).as("n_phone"),
+      redacted.as("redacted_text"))
+  }
+}
