@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import graft.operators.{Curation, Quality}
+import graft.operators.{Curation, Quality, Sampling}
 
 /** Round-5 additions: the heuristic + model-based quality-filtering layer
   * of the modern curation stack.
@@ -89,7 +89,32 @@ object QueriesR5 {
     "txt_pii_redact" -> ((s, d) => {
       val docs = t(s, d, "documents").withColumn("text", piiPlanted)
       Curation.piiRedact(docs, "doc_id", "text")
+    }),
+
+    // token-budget mixture sampling (cap each language at a token budget,
+    // deterministic hash order) — plain windowed form and the skew-safe
+    // two-phase twin under the SAME oracle, so the fact-scale path is
+    // cross-engine-verified too (the corpus_probe_asof_skew discipline)
+    "m_token_budget" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dumps.write(docs.select(col("doc_id"),
+        xxhash64(lit(11L), col("doc_id")).as("h")), "budget_h")
+      Sampling.tokenBudgetSample(docs, Seq("lang"), "doc_id",
+          Text.tokenCount(col("text")), budgetByLang, seed = 11L)
+        .select("doc_id", "lang", "n_tokens", "cum_before", "kept")
+    }),
+
+    "m_token_budget_skew" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dumps.write(docs.select(col("doc_id"),
+        xxhash64(lit(11L), col("doc_id")).as("h")), "budget_h")
+      Sampling.tokenBudgetSampleSkewSafe(docs, Seq("lang"), "doc_id",
+          Text.tokenCount(col("text")), budgetByLang, seed = 11L)
+        .select("doc_id", "lang", "n_tokens", "cum_before", "kept")
     }))
+
+  private def budgetByLang: Column =
+    when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L))
 
   val oracle: Map[String, String] = Map(
     "txt_quality_classifier" ->
@@ -215,5 +240,28 @@ object QueriesR5 {
         |        '<EMAIL>', 'g'),
         |      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\+?\d{3}[- ]\d{3}[- ]\d{4}', '<PHONE>', 'g') AS redacted_text
-        |FROM pl""".stripMargin)
+        |FROM pl""".stripMargin,
+
+    // replay the sampling order (hash, key) from the dumped hashes
+    // (xxhash64 is engine-local) and the exclusive prefix-sum cut; one
+    // oracle serves both the plain and the skew-safe form — the skew-safe
+    // bucketing is a monotone function of the hash, so it cannot reorder
+    "m_token_budget" -> tokenBudgetSql,
+    "m_token_budget_skew" -> tokenBudgetSql)
+
+  private def tokenBudgetSql: String =
+    s"""WITH j AS (SELECT d.doc_id, d.lang,
+       |    len(list_filter(string_split_regex(trim(d.text), '\\s+'), x -> x <> ''))
+       |      AS nt,
+       |    h.h
+       |  FROM documents d
+       |  JOIN read_parquet('${Dumps.Dir}/budget_h.parquet/*.parquet') h
+       |    USING (doc_id)),
+       |r AS (SELECT *,
+       |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM j)
+       |SELECT doc_id, lang, nt AS n_tokens, cb AS cum_before,
+       |  cb < (CASE WHEN lang = 'en' THEN 4000 ELSE 1500 END) AS kept
+       |FROM r""".stripMargin
 }

@@ -174,4 +174,114 @@ object Sampling {
       pmod(xxhash64(lit(seed), col(keyCol)), lit(1000000L))
         < lit(math.round(p * 1000000.0)))
   }
+
+  /** Canonical intra-stratum sampling order for the token-budget samplers:
+    * (hash, key). The skew-safe variant additionally range-buckets on the
+    * hash's high 32 bits — a MONOTONE non-decreasing function of the hash,
+    * so sorting (bucket, hash, key) is the SAME total order as (hash, key)
+    * for EVERY bucket count: `nBuckets` is a pure parallelism knob that
+    * cannot change which documents are sampled.
+    */
+  private def budgetOrder(keyCol: String, seed: Long, nBuckets: Int)
+      : (Column, Column) = {
+    require(nBuckets > 0 && nBuckets <= (1 << 30),
+      s"budgetOrder: nBuckets=$nBuckets out of (0, 2^30]")
+    val h = xxhash64(lit(seed), col(keyCol))
+    // high 32 bits shifted into [0, 2^32), then scaled to [0, nBuckets):
+    // exact long arithmetic (hi < 2^32, nBuckets <= 2^30 => no overflow)
+    val hi = shiftright(h, 32) + lit(2147483648L)
+    val b = shiftright(hi * lit(nBuckets.toLong), 32)
+    (h, b)
+  }
+
+  /** Token-budget stratified corpus sampling — the mixture-shaping step of
+    * a training-data pipeline (cap each stratum — language, source, domain
+    * — at a token budget; the LLaMA/DoReMi-style "data mixing" operation).
+    * Documents are visited in the deterministic pseudorandom order
+    * (hash, key) within their stratum; a document is KEPT iff the
+    * cumulative token count of all documents BEFORE it in that order is
+    * strictly below `budget` (evaluated per row — pass a stratum-keyed
+    * CASE for per-stratum budgets). The crossing document is included, so
+    * every non-empty stratum with budget > 0 keeps at least one document
+    * and the kept token total is the smallest prefix ≥ budget.
+    *
+    * Output: input columns + `n_tokens` (the evaluated tokens column),
+    * `cum_before` (exclusive prefix tokens in sampling order), `kept`.
+    *
+    * Scale shape + rail: the exact prefix sum windows each stratum in ONE
+    * partition, so — like [[stratifiedSplitExact]] — this form fails fast
+    * when a stratum exceeds `maxStratumRows`; at fact scale use
+    * [[tokenBudgetSampleSkewSafe]], which is bit-equal by construction.
+    */
+  def tokenBudgetSample(df: DataFrame, strata: Seq[String], keyCol: String,
+      tokens: Column, budget: Column, seed: Long = 42L, nBuckets: Int = 64,
+      maxStratumRows: Long = 50000000L): DataFrame = {
+    require(strata.nonEmpty, "tokenBudgetSample: empty strata")
+    val maxRow = df.groupBy(strata.map(col): _*).count()
+      .agg(max(col("count"))).head
+    val biggest = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (biggest > maxStratumRows) throw new IllegalStateException(
+      s"Sampling.tokenBudgetSample: a stratum has $biggest rows " +
+        s"(maxStratumRows=$maxStratumRows). The exact prefix sum windows " +
+        "each stratum in one partition; at this size use " +
+        "tokenBudgetSampleSkewSafe (bit-equal two-phase prefix sum) or " +
+        "raise maxStratumRows deliberately.")
+    import org.apache.spark.sql.expressions.Window
+    val (h, _) = budgetOrder(keyCol, seed, nBuckets)
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__h", h)
+      .withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("kept", col("cum_before") < budget)
+      .select((df.columns.toSeq ++ Seq("n_tokens", "cum_before", "kept"))
+        .map(col): _*)
+  }
+
+  /** Fact-scale twin of [[tokenBudgetSample]] — BIT-IDENTICAL output
+    * (spec-asserted), no rail needed. Two-phase distributed prefix sum,
+    * the [[graft.features.FeaturePipeline]] tiny-carry discipline:
+    *
+    *  1. per-(stratum, bucket) token sums — ONE map-side-combined
+    *     aggregate whose exchange is (strata-cardinality × nBuckets) rows;
+    *  2. exclusive bucket offsets via a window over that TINY aggregate
+    *     (never the fact table), broadcast-joined back;
+    *  3. the exact prefix sum runs WITHIN each (stratum, bucket) — each
+    *     stratum's sort is split across `nBuckets` independent partitions,
+    *     so no single reducer ever holds a whole stratum.
+    *
+    * `nBuckets` trades per-task size against the tiny-aggregate width;
+    * size it to the cluster (task count ≈ strata × nBuckets).
+    */
+  def tokenBudgetSampleSkewSafe(df: DataFrame, strata: Seq[String],
+      keyCol: String, tokens: Column, budget: Column, seed: Long = 42L,
+      nBuckets: Int = 64): DataFrame = {
+    require(strata.nonEmpty, "tokenBudgetSampleSkewSafe: empty strata")
+    import org.apache.spark.sql.expressions.Window
+    val (h, b) = budgetOrder(keyCol, seed, nBuckets)
+    val ann = df.withColumn("__h", h).withColumn("__b", b)
+      .withColumn("n_tokens", tokens.cast("long"))
+    // tiny aggregate: strata-cardinality x nBuckets rows
+    val bucketSums = ann
+      .groupBy((strata.map(col) :+ col("__b")): _*)
+      .agg(sum(col("n_tokens")).as("__bs"))
+    val offW = Window.partitionBy(strata.map(col): _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketSums
+      .withColumn("__off", coalesce(sum(col("__bs")).over(offW), lit(0L)))
+      .drop("__bs")
+    val inBucketW = Window
+      .partitionBy((strata.map(col) :+ col("__b")): _*)
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ann
+      .join(broadcast(offsets), strata :+ "__b")
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col("n_tokens")).over(inBucketW), lit(0L)))
+      .withColumn("kept", col("cum_before") < budget)
+      .select((df.columns.toSeq ++ Seq("n_tokens", "cum_before", "kept"))
+        .map(col): _*)
+  }
 }
