@@ -57,7 +57,11 @@ object Bench {
     "dd_line_dedup", "dd_decontaminate", "dd_semantic", "txt_tfidf_topk",
     "txt_unigram_nll",
     // round-5 model-based quality classifier (train + score in one call)
-    "txt_quality_classifier")
+    "txt_quality_classifier",
+    // round-5 heuristic curation gates + token-budget mixture sampling
+    // (skew-safe form — the fact-scale path is the one whose cost matters)
+    "txt_c4_clean", "txt_gopher_gate", "txt_pii_redact",
+    "m_token_budget_skew")
 
   private val CorpusShufflePartitions = 128
 

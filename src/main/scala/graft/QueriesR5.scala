@@ -111,6 +111,33 @@ object QueriesR5 {
       Sampling.tokenBudgetSampleSkewSafe(docs, Seq("lang"), "doc_id",
           Text.tokenCount(col("text")), budgetByLang, seed = 11L)
         .select("doc_id", "lang", "n_tokens", "cum_before", "kept")
+    }),
+
+    // GPT-style concat-and-chunk sequence packing: global (hash, key)
+    // order, exclusive prefix token offsets, fixed 2048-token cuts
+    "m_pack_sequences" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dumps.write(docs.select(col("doc_id"),
+        xxhash64(lit(13L), col("doc_id")).as("h")), "pack_h")
+      Sampling.packSequences(docs, "doc_id", Text.tokenCount(col("text")),
+          seqLen = 2048L, seed = 13L)
+        .select("doc_id", "n_tokens", "cum_before", "seq_first", "seq_last",
+          "offset_in_seq")
+    }),
+
+    // XLM-R temperature reweighting (alpha=0.5, target 3000 rows): the
+    // operator's quantized per-stratum rates are dumped like the LSH plane
+    // weights, and the oracle replays the hash threshold + join; the rate
+    // FORMULA (normalization, clamp, alpha limits) is spec-pinned
+    "m_temperature_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dumps.write(docs.select(col("doc_id"),
+        xxhash64(lit(17L), col("doc_id")).as("h")), "temp_h")
+      val out = Sampling.temperatureSample(docs, Seq("lang"), "doc_id",
+        alpha = 0.5, targetRows = 3000L, seed = 17L)
+      Dumps.write(out.select(col("lang"), col("rate_ppm")).distinct(),
+        "temp_rates")
+      out.select("doc_id", "lang", "rate_ppm", "kept")
     }))
 
   private def budgetByLang: Column =
@@ -247,7 +274,34 @@ object QueriesR5 {
     // oracle serves both the plain and the skew-safe form — the skew-safe
     // bucketing is a monotone function of the hash, so it cannot reorder
     "m_token_budget" -> tokenBudgetSql,
-    "m_token_budget_skew" -> tokenBudgetSql)
+    "m_token_budget_skew" -> tokenBudgetSql,
+
+    "m_pack_sequences" ->
+      s"""WITH j AS (SELECT d.doc_id,
+         |    len(list_filter(string_split_regex(trim(d.text), '\\s+'), x -> x <> ''))
+         |      AS nt,
+         |    h.h
+         |  FROM documents d
+         |  JOIN read_parquet('${Dumps.Dir}/pack_h.parquet/*.parquet') h
+         |    USING (doc_id)),
+         |r AS (SELECT *,
+         |    coalesce(sum(nt) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM j)
+         |SELECT doc_id, nt AS n_tokens, cb AS cum_before,
+         |  cb // 2048 AS seq_first,
+         |  (cb + greatest(nt, 1) - 1) // 2048 AS seq_last,
+         |  cb % 2048 AS offset_in_seq
+         |FROM r""".stripMargin,
+
+    "m_temperature_sample" ->
+      s"""SELECT d.doc_id, d.lang, r.rate_ppm,
+         |  ((h.h % 1000000) + 1000000) % 1000000 < r.rate_ppm AS kept
+         |FROM documents d
+         |JOIN read_parquet('${Dumps.Dir}/temp_h.parquet/*.parquet') h
+         |  USING (doc_id)
+         |JOIN read_parquet('${Dumps.Dir}/temp_rates.parquet/*.parquet') r
+         |  USING (lang)""".stripMargin)
 
   private def tokenBudgetSql: String =
     s"""WITH j AS (SELECT d.doc_id, d.lang,

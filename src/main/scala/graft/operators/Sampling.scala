@@ -284,4 +284,122 @@ object Sampling {
       .select((df.columns.toSeq ++ Seq("n_tokens", "cum_before", "kept"))
         .map(col): _*)
   }
+
+  /** Sequence packing — the GPT-style "concatenate and chunk" pretraining
+    * data layout: documents are laid end-to-end in the deterministic
+    * pseudorandom order (hash, key) and the resulting token stream is cut
+    * into fixed-length training sequences of `seqLen` tokens. Each document
+    * gets its GLOBAL token offset and the id range of the sequences it
+    * lands in:
+    *
+    *   - `cum_before`    exclusive global prefix token count,
+    *   - `seq_first`     cum_before div seqLen,
+    *   - `seq_last`      (cum_before + max(n_tokens,1) - 1) div seqLen
+    *                     (== seq_first for empty documents),
+    *   - `offset_in_seq` cum_before mod seqLen.
+    *
+    * A writer groups by sequence id to emit the packed batches; documents
+    * spanning a boundary (seq_last > seq_first) are the ones a loss mask
+    * or attention reset must split.
+    *
+    * Scale shape: the SAME two-phase prefix sum as
+    * [[tokenBudgetSampleSkewSafe]] but with ONE global stratum — per-bucket
+    * token sums are a map-side-combined `nBuckets`-row aggregate, exclusive
+    * bucket offsets are windowed over that tiny table and broadcast back,
+    * and the exact prefix runs only WITHIN each bucket, so the corpus-wide
+    * running sum never serializes into one task. Bucketing is monotone in
+    * the hash ([[budgetOrder]]), so `nBuckets` cannot change the layout.
+    */
+  def packSequences(df: DataFrame, keyCol: String, tokens: Column,
+      seqLen: Long, seed: Long = 42L, nBuckets: Int = 64): DataFrame = {
+    require(seqLen > 0, s"packSequences: seqLen=$seqLen must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val (h, b) = budgetOrder(keyCol, seed, nBuckets)
+    val ann = df.withColumn("__h", h).withColumn("__b", b)
+      .withColumn("n_tokens", tokens.cast("long"))
+    // nBuckets-row aggregate; the global-order window over it is trivial
+    val offW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ann.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__bs"))
+      .withColumn("__off", coalesce(sum(col("__bs")).over(offW), lit(0L)))
+      .drop("__bs")
+    val inBucketW = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ann
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col("n_tokens")).over(inBucketW), lit(0L)))
+      .withColumn("seq_first", expr(s"cum_before div ${seqLen}L"))
+      .withColumn("seq_last", expr(
+        s"(cum_before + greatest(n_tokens, 1L) - 1L) div ${seqLen}L"))
+      .withColumn("offset_in_seq", col("cum_before") % seqLen)
+      .select((df.columns.toSeq ++ Seq("n_tokens", "cum_before",
+        "seq_first", "seq_last", "offset_in_seq")).map(col): _*)
+  }
+
+  /** Temperature-based mixture resampling (the multilingual-pretraining
+    * reweighting of mBERT/XLM-R: sample stratum i with probability
+    * q_i ∝ n_i^alpha, alpha in (0,1] flattening the natural distribution
+    * toward uniform so low-resource strata are upsampled relative to their
+    * share). Given a total row target, each stratum's Bernoulli keep-rate is
+    *
+    *   rate_i = min(1, targetRows · q_i / n_i),   q_i = n_i^alpha / Σ n_j^alpha
+    *
+    * quantized to a 1e-6 grid (HALF_UP — the [[stratifiedSplitHash]] ppm
+    * discipline) and applied as the pure hash threshold
+    * pmod(xxhash64(seed, key), 10^6) < rate_ppm, so the drawn sample is
+    * identical at any parallelism. alpha = 1 gives a uniform rate (plain
+    * proportional subsample); alpha → 0 equalizes expected PER-STRATUM
+    * counts.
+    *
+    * Scale shape: stratum sizes are ONE map-side-combined tiny aggregate
+    * collected under the `maxStrata` rail (strata are languages/sources —
+    * bounded vocabulary, not data); rates are computed driver-side, joined
+    * back by broadcast; the corpus itself never shuffles — keep/rate is a
+    * pure projection. Output: input columns + `rate_ppm` + `kept`.
+    */
+  def temperatureSample(df: DataFrame, strata: Seq[String], keyCol: String,
+      alpha: Double, targetRows: Long, seed: Long = 42L,
+      maxStrata: Int = 100000): DataFrame = {
+    require(strata.nonEmpty, "temperatureSample: empty strata")
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureSample: alpha=$alpha outside (0, 1]")
+    require(targetRows >= 0, s"temperatureSample: targetRows=$targetRows < 0")
+    val counts = df.groupBy(strata.map(col): _*).count()
+      .limit(maxStrata + 1).collect()
+    if (counts.length > maxStrata) throw new IllegalStateException(
+      s"Sampling.temperatureSample: more than $maxStrata strata " +
+        "(maxStrata rail). Temperature reweighting is defined over a " +
+        "bounded stratum vocabulary (languages, sources); a key this " +
+        "fine-grained is not a mixture axis.")
+    val n = counts.map(r => r.getLong(r.length - 1).toDouble)
+    val wSum = n.map(math.pow(_, alpha)).sum
+    val spark = df.sparkSession
+    val rateRows = counts.zip(n).map { case (r, ni) =>
+      val rate = math.min(1.0, targetRows.toDouble *
+        (math.pow(ni, alpha) / wSum) / ni)
+      val ppm = java.math.BigDecimal.valueOf(rate * 1000000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      org.apache.spark.sql.Row.fromSeq(
+        (0 until r.length - 1).map(r.get) :+ ppm)
+    }
+    val rateSchema = org.apache.spark.sql.types.StructType(
+      df.select(strata.map(col): _*).schema.fields.zipWithIndex.map {
+        case (f, i) => f.copy(name = s"__s$i")
+      } :+ org.apache.spark.sql.types.StructField("rate_ppm",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rates = spark.createDataFrame(
+      java.util.Arrays.asList(rateRows: _*), rateSchema)
+    // null-safe equality: a null stratum is a stratum (groupBy groups it),
+    // so its rows must find their rate row too
+    val cond = strata.zipWithIndex
+      .map { case (s, i) => col(s) <=> col(s"__s$i") }.reduce(_ && _)
+    df.join(broadcast(rates), cond)
+      .withColumn("kept",
+        pmod(xxhash64(lit(seed), col(keyCol)), lit(1000000L))
+          < col("rate_ppm"))
+      .select((df.columns.toSeq ++ Seq("rate_ppm", "kept")).map(col): _*)
+  }
 }
