@@ -262,7 +262,7 @@ object Bench {
   private def multiJvmScaling(corpusPath: String, warmPath: String,
       corpusRows: Long, threadDigest: Long,
       threadTwinMins: Option[(Double, Double)],
-      deadlineNanos: Long): Option[(String, String)] = {
+      deadlineNanos: Long): Option[(String, String, Double)] = {
     // 2 visits by default (r4 ran 3 and the bench exceeded the driver's
     // wall budget — rc 124, NO artifact); the twin-based stall-recovery
     // below still extends a contaminated level by up to maxExtra visits,
@@ -378,7 +378,7 @@ object Bench {
               |a real N-vs-4N cluster pays network shuffle at BOTH levels,
               |so this pair UNDERSTATES real-cluster efficiency.
               |""".stripMargin
-        Some((json, md))
+        Some((json, md, drawsBig.sum + drawsSmall.sum))
       }
     }
   }
@@ -680,6 +680,7 @@ object Bench {
           startNanos + wallBudgetSec * 1000000000L)
       else None
     multiJvmJson = multiJvm.map(_._1)
+    multiJvm.foreach(m => totalNow += m._3)
     emit(complete = true)
     writeMd(multiJvm.map(_._2))
 
