@@ -61,7 +61,7 @@ object Bench {
     // round-5 heuristic curation gates + token-budget mixture sampling
     // (skew-safe form — the fact-scale path is the one whose cost matters)
     "txt_c4_clean", "txt_gopher_gate", "txt_pii_redact",
-    "m_token_budget_skew")
+    "m_token_budget_skew", "m_pack_sequences", "m_temperature_sample")
 
   private val CorpusShufflePartitions = 128
 

@@ -77,6 +77,28 @@ class PackingSpec extends AnyFunSuite {
     assert(r.exists(t => t._5 > t._4), "no doc spans a sequence boundary")
   }
 
+  test("packSequences never runs a fact-sized single-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = Sampling.packSequences(docs, "id", toks, 7L)
+      val windows = out.queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        // a global (empty partitionSpec) window is legal ONLY over the
+        // tiny per-bucket aggregate, never over fact rows
+        if (w.partitionSpec.isEmpty)
+          assert(w.child.collectFirst {
+            case a if a.nodeName.toLowerCase.contains("aggregate") => a
+          }.nonEmpty, s"global window over non-aggregated input:\n$w")
+      }
+      // and the fact-side prefix window must partition by the bucket
+      assert(windows.exists(w => w.partitionSpec.nonEmpty))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("packSequences rejects non-positive seqLen") {
     intercept[IllegalArgumentException] {
       Sampling.packSequences(docs, "id", toks, 0L)
