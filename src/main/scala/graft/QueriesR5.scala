@@ -189,8 +189,8 @@ object QueriesR5 {
         |         THEN chr(10) || 'if (x) { return x }' ELSE '' END AS t
         |  FROM documents),
         |g AS (SELECT doc_id, t,
-        |    string_split(t, chr(10)) AS lines,
-        |    list_filter(string_split(t, chr(10)), l ->
+        |    string_split_regex(t, '\r?\n') AS lines,
+        |    list_filter(string_split_regex(t, '\r?\n'), l ->
         |      right(rtrim(l), 1) IN ('.', '!', '?', '"') AND
         |      len(list_filter(string_split_regex(trim(l), '\s+'), x -> x <> '')) >= 5
         |    ) AS kept
@@ -212,10 +212,10 @@ object QueriesR5 {
     // Gopher rules in gopherGate order over the raw documents; rounding is
     // the house round(x + 1.7e-8, 4)
     "txt_gopher_gate" ->
-      """WITH t AS (SELECT doc_id,
+      """WITH t AS (SELECT doc_id, text IS NULL AS no_text,
         |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
         |  FROM documents),
-        |m AS (SELECT doc_id, coalesce(len(tk), 0) AS wc,
+        |m AS (SELECT doc_id, no_text, coalesce(len(tk), 0) AS wc,
         |    CASE WHEN len(tk) > 0 THEN
         |      list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk)
         |      ELSE 0.0 END AS mwl,
@@ -232,14 +232,16 @@ object QueriesR5 {
         |  round(af + 1.7e-8, 4) AS alpha_frac,
         |  ns AS n_stopwords,
         |  round(df + 1.7e-8, 4) AS dup_frac,
-        |  CASE WHEN wc < 25 THEN 'too_few_words'
+        |  CASE WHEN no_text THEN 'missing_text'
+        |       WHEN wc < 25 THEN 'too_few_words'
         |       WHEN wc > 100000 THEN 'too_many_words'
         |       WHEN mwl < 3.0 OR mwl > 10.0 THEN 'word_length'
         |       WHEN af < 0.8 THEN 'non_alpha_words'
         |       WHEN ns < 2 THEN 'stopwords'
         |       WHEN df > 0.6 THEN 'repetition'
         |       END AS reject_reason,
-        |  (CASE WHEN wc < 25 THEN 'x' WHEN wc > 100000 THEN 'x'
+        |  (CASE WHEN no_text THEN 'x' WHEN wc < 25 THEN 'x'
+        |        WHEN wc > 100000 THEN 'x'
         |        WHEN mwl < 3.0 OR mwl > 10.0 THEN 'x' WHEN af < 0.8 THEN 'x'
         |        WHEN ns < 2 THEN 'x' WHEN df > 0.6 THEN 'x' END) IS NULL AS keep
         |FROM m""".stripMargin,

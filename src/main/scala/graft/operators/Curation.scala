@@ -28,7 +28,9 @@ import graft.functions.Text
 object Curation {
 
   /** C4 line-level cleaning + page gates (Raffel et al. 2020 §2.2).
-    * Contract: `text`'s lines are '\n'-separated. Line rules (both must
+    * Contract: `text`'s lines are '\n'- or CRLF-separated (the split eats
+    * the '\r' of a CRLF pair, so Windows-lineage web pages are cleaned,
+    * not rejected wholesale). Line rules (both must
     * hold to keep a line): ends in a terminal punctuation mark
     * (`. ! ? "`) after right-trim, and has at least `minLineWords`
     * whitespace tokens. Page rules, first failing wins:
@@ -42,7 +44,7 @@ object Curation {
   def c4Clean(df: DataFrame, id: String, text: String,
       minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
     val t = col(text)
-    val lines = split(t, "\n", -1)
+    val lines = split(t, "\r?\n", -1)
     val keepLine = (l: Column) =>
       substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
         size(Text.tokens(l)) >= minLineWords
@@ -112,11 +114,17 @@ object Curation {
   val PhonePattern = "\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}"
 
   /** C4-style PII scrub: replace emails, IPv4 addresses, and phone numbers
-    * with typed placeholders and count each class (counted on the ORIGINAL
-    * text, so the counts are audit totals independent of redaction order).
-    * Redaction order email → ip → phone; the three patterns are mutually
-    * non-overlapping by construction (the phone separator class excludes
-    * '.', so an IPv4 octet run can never half-match as a phone).
+    * with typed placeholders and count each class. Counts are taken on the
+    * ORIGINAL text, independently per pattern — they are audit totals for
+    * "this class of PII appeared", NOT a census of the placeholders in
+    * `redacted_text`: redaction runs email → ip → phone, so a phone- or
+    * IP-shaped run INSIDE an email's local part or domain (e.g.
+    * '555-123-4567@x.com', 'a@1.2.3.4.example.com') is counted under its
+    * own class but disappears into the earlier <EMAIL> placeholder.
+    * Phone vs IPv4 cannot overlap (the phone separator class excludes
+    * '.'), and either placeholder substitution leaves no digits behind,
+    * so the redacted text itself is PII-free either way — the property
+    * the scrub exists for.
     */
   def piiRedact(df: DataFrame, id: String, text: String): DataFrame = {
     val t = col(text)

@@ -59,7 +59,11 @@ object Quality {
     val nRow = df.agg(
       sum(when(y, 1L).otherwise(0L)).as("np"),
       sum(when(y, 0L).otherwise(1L)).as("nn")).head()
-    val (nPos, nNeg) = (nRow.getLong(0), nRow.getLong(1))
+    // sum over zero rows is NULL — fold the empty corpus into the
+    // single-class diagnostic below instead of an opaque NPE
+    val (nPos, nNeg) =
+      (if (nRow.isNullAt(0)) 0L else nRow.getLong(0),
+        if (nRow.isNullAt(1)) 0L else nRow.getLong(1))
     require(nPos > 0 && nNeg > 0,
       s"nbClassifierScore: weak label produced a single class " +
         s"(pos=$nPos, neg=$nNeg) — the log-count-ratio model is undefined; " +

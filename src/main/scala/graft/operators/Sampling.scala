@@ -276,8 +276,16 @@ object Sampling {
       .partitionBy((strata.map(col) :+ col("__b")): _*)
       .orderBy(col("__h"), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe offsets join: a null stratum is a stratum (the plain form's
+    // window partitions it; a usingColumns equi-join would silently DROP it)
+    val offsetsR = offsets.select(
+      (strata.zipWithIndex.map { case (s, i) => col(s).as(s"__s$i") } ++
+        Seq(col("__b").as("__ob"), col("__off"))): _*)
+    val joinCond = (strata.zipWithIndex
+      .map { case (s, i) => col(s) <=> col(s"__s$i") } :+
+      (col("__b") === col("__ob"))).reduce(_ && _)
     ann
-      .join(broadcast(offsets), strata :+ "__b")
+      .join(broadcast(offsetsR), joinCond)
       .withColumn("cum_before",
         col("__off") + coalesce(sum(col("n_tokens")).over(inBucketW), lit(0L)))
       .withColumn("kept", col("cum_before") < budget)

@@ -209,8 +209,22 @@ object Terms {
           if (idx < 0) throw new IllegalStateException(
             "unigramLogProb kernel: token hash missing from the broadcast " +
               "vocabulary — tokenizer twin divergence")
-          val term = (e - r).toLong * q(idx) // tf ≤ 2^31, |q| ≤ 2^36: exact
-          if (accB ne null) accB = accB.add(java.math.BigInteger.valueOf(term))
+          // tf·q must ALSO multiply exactly: tf ≤ 2^31 and |q| ≤ 2^36, so
+          // the bare product can reach 2^67 — promote just like the sum
+          val tf = (e - r).toLong
+          val qv = q(idx)
+          var termB: java.math.BigInteger = null
+          var term = 0L
+          try term = Math.multiplyExact(tf, qv)
+          catch {
+            case _: ArithmeticException => termB = java.math.BigInteger
+              .valueOf(tf).multiply(java.math.BigInteger.valueOf(qv))
+          }
+          if (termB ne null)
+            accB = (if (accB ne null) accB
+              else java.math.BigInteger.valueOf(accL)).add(termB)
+          else if (accB ne null)
+            accB = accB.add(java.math.BigInteger.valueOf(term))
           else {
             try accL = Math.addExact(accL, term)
             catch {

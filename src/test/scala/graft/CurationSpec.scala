@@ -64,6 +64,17 @@ class CurationSpec extends AnyFunSuite {
     (7L, null.asInstanceOf[String])                        // missing_text
   ).toDF("doc_id", "text")
 
+  test("c4Clean treats CRLF pages like LF pages (the \\r never survives)") {
+    val lf = Seq((1L, "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa?\nlambda mu nu xi omicron pi.")).toDF("doc_id", "text")
+    val crlf = Seq((1L, "alpha beta gamma delta epsilon.\r\nzeta eta theta iota kappa?\r\nlambda mu nu xi omicron pi.")).toDF("doc_id", "text")
+    val a = Curation.c4Clean(lf, "doc_id", "text").head()
+    val b = Curation.c4Clean(crlf, "doc_id", "text").head()
+    assert(b.getAs[Boolean]("keep"), "CRLF page rejected")
+    assert(b.getAs[Int]("n_kept") === a.getAs[Int]("n_kept"))
+    assert(b.getAs[String]("cleaned_text") === a.getAs[String]("cleaned_text"))
+    assert(!b.getAs[String]("cleaned_text").contains("\r"))
+  }
+
   test("gopherGate applies rules first-failing-wins with audited signals") {
     val r = Curation.gopherGate(gopherDocs, "doc_id", "text",
       stopwords = Seq("the", "a"), minWords = 10, maxDupFrac = 0.5)

@@ -59,6 +59,14 @@ class QualitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("single class"))
   }
 
+  test("empty corpus fails fast with the single-class diagnostic, not NPE") {
+    val e = intercept[IllegalArgumentException] {
+      Quality.nbClassifierScore(docs.limit(0), "doc_id", "text",
+        lit(true), dim = 16)
+    }
+    assert(e.getMessage.contains("single class"))
+  }
+
   test("over-rail dim fails fast") {
     val e = intercept[IllegalArgumentException] {
       Quality.nbClassifierScore(docs, "doc_id", "text", col("y"),

@@ -65,6 +65,16 @@ class TokenBudgetSpec extends AnyFunSuite {
       Seq((1L, 10L, 0L, true)))
   }
 
+  test("a NULL stratum is a stratum: skew-safe keeps and matches plain") {
+    val withNull = Seq(
+      (1L, "aa", "w w w"), (2L, null, "w w w w"), (3L, null, "w w"),
+      (4L, "aa", "w")).toDF("id", "grp", "text")
+    val plain = run(withNull, skew = false, budget = 5L)
+    val skew = run(withNull, skew = true, budget = 5L)
+    assert(plain.map(_._1) === Seq(1L, 2L, 3L, 4L), "rows lost")
+    assert(skew === plain)
+  }
+
   test("plain form fails fast over the stratum-size rail") {
     val e = intercept[IllegalStateException] {
       Sampling.tokenBudgetSample(docs, Seq("grp"), "id", toks, lit(20L),
