@@ -69,6 +69,19 @@ object QueriesR5 {
       concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"),
         lit(".25 port 80"))).otherwise(lit("")))
 
+  /** Funnel duplicate plant: every doc_id % 13 == 0 page is replaced by ONE
+    * shared page that passes both heuristic gates (3 terminal-punctuated
+    * ≥5-word lines, 27 words, both stopwords, unique words), so the dedup
+    * stage has a real cluster to collapse at every test scale.
+    */
+  private val FunnelDupPage =
+    "alpha beta gamma delta epsilon zeta eta theta.\n" +
+      "the quick brown fox jumps over a lazy dog today.\n" +
+      "many different shiny words fill this third line nicely."
+
+  private def funnelPlanted: Column =
+    when(col("doc_id") % 13 === 0, lit(FunnelDupPage)).otherwise(c4Planted)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_quality_classifier" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -125,6 +138,46 @@ object QueriesR5 {
           "offset_in_seq")
     }),
 
+    // END-TO-END curation funnel — the composition a pipeline user runs:
+    // C4 clean -> Gopher gate -> exact dedup (keep min id per cleaned
+    // text) -> per-language token budget; one row per document with its
+    // FIRST failing stage (null = survived to the training set). Every
+    // stage is replayed start-to-finish in the oracle.
+    "curation_funnel" -> ((s, d) => {
+      val docs = t(s, d, "documents").withColumn("text", funnelPlanted)
+      Dumps.write(docs.select(col("doc_id"),
+        xxhash64(lit(19L), col("doc_id")).as("h")), "funnel_h")
+      val c4 = Curation.c4Clean(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("__c4"), col("cleaned_text"))
+      val gop = Curation.gopherGate(
+          c4.select(col("doc_id"), col("cleaned_text").as("text")),
+          "doc_id", "text", stopwords = Seq("the", "a"), minWords = 10,
+          maxDupFrac = 0.6)
+        .select(col("doc_id"), col("keep").as("__gop"))
+      val staged = docs.select(col("doc_id"), col("lang"))
+        .join(c4, "doc_id").join(gop, "doc_id")
+      val surv12 = staged.where(col("__c4") && col("__gop"))
+      val canon = surv12.groupBy(col("cleaned_text"))
+        .agg(min(col("doc_id")).as("__keep_id"))
+      val surv3 = surv12.join(canon, "cleaned_text")
+        .withColumn("__dup", col("doc_id") =!= col("__keep_id"))
+      val budget = Sampling.tokenBudgetSample(
+          surv3.where(!col("__dup"))
+            .select(col("doc_id"), col("lang"), col("cleaned_text")),
+          Seq("lang"), "doc_id", Text.tokenCount(col("cleaned_text")),
+          funnelBudget, seed = 19L)
+        .select(col("doc_id"), col("kept").as("__budget"))
+      staged
+        .join(surv3.select(col("doc_id"), col("__dup")), Seq("doc_id"), "left")
+        .join(budget, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(!col("__c4"), "c4")
+            .when(!col("__gop"), "gopher")
+            .when(col("__dup"), "duplicate")
+            .when(!col("__budget"), "over_budget").as("stage"))
+        .withColumn("kept", col("stage").isNull)
+    }),
+
     // XLM-R temperature reweighting (alpha=0.5, target 3000 rows): the
     // operator's quantized per-stratum rates are dumped like the LSH plane
     // weights, and the oracle replays the hash threshold + join; the rate
@@ -142,6 +195,9 @@ object QueriesR5 {
 
   private def budgetByLang: Column =
     when(col("lang") === "en", lit(4000L)).otherwise(lit(1500L))
+
+  private def funnelBudget: Column =
+    when(col("lang") === "en", lit(60L)).otherwise(lit(30L))
 
   val oracle: Map[String, String] = Map(
     "txt_quality_classifier" ->
@@ -295,6 +351,83 @@ object QueriesR5 {
          |  (cb + greatest(nt, 1) - 1) // 2048 AS seq_last,
          |  cb % 2048 AS offset_in_seq
          |FROM r""".stripMargin,
+
+    // full-funnel replay: plant -> C4 rules -> Gopher rules over the
+    // cleaned text -> min-id dedup -> budget cut over the dumped hashes
+    "curation_funnel" ->
+      s"""WITH pl AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 13 = 0 THEN
+         |      'alpha beta gamma delta epsilon zeta eta theta.' || chr(10) ||
+         |      'the quick brown fox jumps over a lazy dog today.' || chr(10) ||
+         |      'many different shiny words fill this third line nicely.'
+         |    ELSE replace(replace(text, ' table ', '.' || chr(10)), ' value ', chr(10))
+         |      || CASE WHEN doc_id % 17 = 0
+         |           THEN chr(10) || 'this page contains Lorem Ipsum filler content here.'
+         |           ELSE '' END
+         |      || CASE WHEN doc_id % 23 = 0
+         |           THEN chr(10) || 'if (x) { return x }' ELSE '' END
+         |    END AS t
+         |  FROM documents),
+         |c4 AS (SELECT doc_id, lang, t,
+         |    list_filter(string_split_regex(t, '\\r?\\n'), l ->
+         |      right(rtrim(l), 1) IN ('.', '!', '?', '"') AND
+         |      len(list_filter(string_split_regex(trim(l), '\\s+'), x -> x <> '')) >= 5
+         |    ) AS kl
+         |  FROM pl),
+         |c4v AS (SELECT doc_id, lang,
+         |    CASE WHEN t IS NULL THEN 'missing_text'
+         |         WHEN contains(lower(t), 'lorem ipsum') THEN 'lorem_ipsum'
+         |         WHEN contains(t, '{') THEN 'brace'
+         |         WHEN len(kl) < 3 THEN 'too_few_lines' END AS c4r,
+         |    array_to_string(kl, chr(10)) AS ct0
+         |  FROM c4),
+         |c4w AS (SELECT doc_id, lang, c4r IS NULL AS c4k,
+         |    CASE WHEN c4r IS NULL THEN ct0 ELSE '' END AS ct FROM c4v),
+         |gm AS (SELECT doc_id,
+         |    coalesce(len(tk), 0) AS wc,
+         |    CASE WHEN len(tk) > 0 THEN
+         |      list_aggregate(list_transform(tk, x -> len(x)), 'sum') * 1.0 / len(tk)
+         |      ELSE 0.0 END AS mwl,
+         |    CASE WHEN len(tk) > 0 THEN
+         |      len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(tk)
+         |      ELSE 0.0 END AS af,
+         |    coalesce(len(list_intersect(list_distinct(list_transform(tk, x -> lower(x))),
+         |      ['the', 'a'])), 0) AS ns,
+         |    CASE WHEN len(tk) > 0 THEN
+         |      1.0 - len(list_distinct(tk)) * 1.0 / len(tk) ELSE 0.0 END AS df
+         |  FROM (SELECT doc_id,
+         |      list_filter(string_split_regex(trim(ct), '\\s+'), x -> x <> '') AS tk
+         |    FROM c4w)),
+         |gv AS (SELECT doc_id,
+         |    (CASE WHEN wc < 10 THEN 'x' WHEN wc > 100000 THEN 'x'
+         |          WHEN mwl < 3.0 OR mwl > 10.0 THEN 'x' WHEN af < 0.8 THEN 'x'
+         |          WHEN ns < 2 THEN 'x' WHEN df > 0.6 THEN 'x' END) IS NULL AS gk
+         |  FROM gm),
+         |sv AS (SELECT w.doc_id, w.lang, w.ct, w.c4k, gv.gk
+         |  FROM c4w w JOIN gv USING (doc_id)),
+         |s12 AS (SELECT * FROM sv WHERE c4k AND gk),
+         |cn AS (SELECT ct, min(doc_id) AS keep_id FROM s12 GROUP BY ct),
+         |s3 AS (SELECT s12.doc_id, s12.doc_id <> cn.keep_id AS dup
+         |  FROM s12 JOIN cn USING (ct)),
+         |bj AS (SELECT s12.doc_id, s12.lang,
+         |    len(list_filter(string_split_regex(trim(s12.ct), '\\s+'), x -> x <> '')) AS nt,
+         |    h.h
+         |  FROM s12 JOIN s3 USING (doc_id)
+         |  JOIN read_parquet('${Dumps.Dir}/funnel_h.parquet/*.parquet') h
+         |    USING (doc_id)
+         |  WHERE NOT s3.dup),
+         |br AS (SELECT doc_id,
+         |    coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      < (CASE WHEN lang = 'en' THEN 60 ELSE 30 END) AS bk
+         |  FROM bj),
+         |f AS (SELECT sv.doc_id, sv.lang,
+         |    CASE WHEN NOT sv.c4k THEN 'c4'
+         |         WHEN NOT sv.gk THEN 'gopher'
+         |         WHEN s3.dup THEN 'duplicate'
+         |         WHEN NOT br.bk THEN 'over_budget' END AS stage
+         |  FROM sv LEFT JOIN s3 USING (doc_id) LEFT JOIN br USING (doc_id))
+         |SELECT doc_id, lang, stage, stage IS NULL AS kept FROM f""".stripMargin,
 
     "m_temperature_sample" ->
       s"""SELECT d.doc_id, d.lang, r.rate_ppm,
