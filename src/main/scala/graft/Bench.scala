@@ -61,7 +61,9 @@ object Bench {
     // round-5 heuristic curation gates + token-budget mixture sampling
     // (skew-safe form — the fact-scale path is the one whose cost matters)
     "txt_c4_clean", "txt_gopher_gate", "txt_pii_redact",
-    "m_token_budget_skew", "m_pack_sequences", "m_temperature_sample")
+    "m_token_budget_skew", "m_pack_sequences", "m_temperature_sample",
+    // the end-to-end curation composition — the most pipeline-like query
+    "curation_funnel")
 
   private val CorpusShufflePartitions = 128
 

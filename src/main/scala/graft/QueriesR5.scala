@@ -156,12 +156,18 @@ object QueriesR5 {
         .select(col("doc_id"), col("keep").as("__gop"))
       val staged = docs.select(col("doc_id"), col("lang"))
         .join(c4, "doc_id").join(gop, "doc_id")
+      // dedup shuffles the 8-byte text hash, never the text (the
+      // Dedup.dedupLines key discipline); the oracle groups by the text
+      // itself — identical groups absent a 64-bit collision
       val surv12 = staged.where(col("__c4") && col("__gop"))
-      val canon = surv12.groupBy(col("cleaned_text"))
+        .withColumn("__ch", xxhash64(col("cleaned_text")))
+      val canon = surv12.groupBy(col("__ch"))
         .agg(min(col("doc_id")).as("__keep_id"))
-      val surv3 = surv12.join(canon, "cleaned_text")
+      val surv3 = surv12.join(canon, "__ch")
         .withColumn("__dup", col("doc_id") =!= col("__keep_id"))
-      val budget = Sampling.tokenBudgetSample(
+      // the skew-safe twin is bit-identical to the plain form and is the
+      // shape that survives a fact-scale stratum
+      val budget = Sampling.tokenBudgetSampleSkewSafe(
           surv3.where(!col("__dup"))
             .select(col("doc_id"), col("lang"), col("cleaned_text")),
           Seq("lang"), "doc_id", Text.tokenCount(col("cleaned_text")),
