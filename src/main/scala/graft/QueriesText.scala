@@ -157,6 +157,29 @@ object QueriesText {
         .select(col("id").as("doc_id"), col("comp").as("keep_id"))
     }),
 
+    // quality-aware survivor selection: production dedup keeps the BEST
+    // document of a near-dup cluster (longest / highest-quality — the
+    // RefinedWeb convention), not the smallest id. One window per
+    // component over the component-sized member set.
+    "dd_survivor_quality" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      val comp = Dedup.components(pairs, "id_a", "id_b")
+      val scored = comp.join(
+        docs.select(col("doc_id").as("id"),
+          Text.tokenCount(col("text")).as("n_tokens")), "id")
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("n_tokens").desc, col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      scored
+        .withColumn("survivor_id", first(col("id")).over(w))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("survivor_id"),
+          (col("id") === col("survivor_id")).as("is_survivor"))
+    }),
+
     // ---- SIM: embedding-cosine near-dup pairs (label-blocked) ------------------
     "sim_cosine_pairs" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -441,6 +464,26 @@ object QueriesText {
          |  UNION
          |  SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id)
          |SELECT id AS doc_id, min(root) AS keep_id FROM reach GROUP BY id""".stripMargin,
+    "dd_survivor_quality" ->
+      s"""WITH RECURSIVE pairs AS ($NgramPairsSql),
+         |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |        UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM und),
+         |reach(id, root) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT u.b, r.root FROM reach r JOIN und u ON u.a = r.id),
+         |comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id),
+         |q AS (SELECT c.id, c.comp,
+         |    len(list_filter(string_split_regex(trim(d.text), '\\s+'), x -> x <> ''))
+         |      AS nt
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id),
+         |r AS (SELECT *, row_number()
+         |    OVER (PARTITION BY comp ORDER BY nt DESC, id) AS rk FROM q),
+         |sv AS (SELECT comp, id AS survivor_id FROM r WHERE rk = 1)
+         |SELECT q.id AS doc_id, q.nt AS n_tokens, sv.survivor_id,
+         |  q.id = sv.survivor_id AS is_survivor
+         |FROM q JOIN sv USING (comp)""".stripMargin,
     "sim_cosine_pairs" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings)
