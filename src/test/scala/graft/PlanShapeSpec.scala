@@ -174,4 +174,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hpPlan.contains("BroadcastHashJoin") && hpPlan.contains("LeftAnti"),
       s"hot-bucket guard is not a broadcast anti-join:\n$hpPlan")
   }
+
+  test("curation funnel consumers probe a NARROW cached staging frame") {
+    val df = SparkEntry.queries("curation_funnel")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // the FULL plan print (the AQE final-plan prefix collapses reused
+    // stages to bare references, hiding their scans): the three consumer
+    // branches (stage labeling, dedup canon, token budget) must probe the
+    // persisted staging frame instead of re-evaluating the C4+Gopher
+    // subtree once each (measured ~1.5x the whole query pre-persist)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("InMemoryTableScan")).toSeq
+    assert(scans.size >= 3,
+      s"funnel consumers should probe the cached staging frame:\n$plan")
+    // and every cache probe must read the narrow (id, lang, flags, hash,
+    // tokens) projection — the document text is consumed inside the one
+    // staging pass and never enters the cache scans or anything above them
+    assert(scans.forall(s => !s.contains("cleaned_text") && !s.contains("text#")),
+      s"text column leaked into a staging-cache scan:\n${scans.mkString("\n")}")
+    graft.operators.Caches.releaseAll()
+  }
 }
