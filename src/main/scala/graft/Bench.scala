@@ -243,9 +243,16 @@ object Bench {
     * definition shared by the thread-mode and multi-JVM sections so the
     * two `med3` fields in BENCH.json can never drift apart.
     */
-  private def med3(xs: Seq[Double]): Double = xs.sorted.take(3) match {
+  private[graft] def med3(xs: Seq[Double]): Double = xs.sorted.take(3) match {
     case s if s.size >= 3 => s(1)
-    case s => s.last
+    // fewer than 3 draws (a deadline-starved section): the median of what
+    // exists — for 2 draws the midpoint, for 1 the draw. The previous
+    // fallback returned the LARGEST available draw, which on a stall-prone
+    // box made a 2-draw med3 stall-poisoned by construction (the final r4
+    // builder run recorded exactly that: multi-JVM med3 0.246 from one
+    // deadline-cut visit whose worse draw was a 280 s stall window).
+    case s if s.size == 2 => (s(0) + s(1)) / 2
+    case s => s.head
   }
 
   /** Draws more than 1.25x their level's min — suspected VM-stall windows
@@ -264,12 +271,17 @@ object Bench {
   private def multiJvmScaling(corpusPath: String, warmPath: String,
       corpusRows: Long, threadDigest: Long,
       threadTwinMins: Option[(Double, Double)],
-      deadlineNanos: Long): Option[(String, String, Double)] = {
+      deadlineNanos: Long,
+      partialEmit: String => Unit): Option[(String, String, Double)] = {
     // 2 visits by default (r4 ran 3 and the bench exceeded the driver's
     // wall budget — rc 124, NO artifact); the twin-based stall-recovery
     // below still extends a contaminated level by up to maxExtra visits,
     // so the 2-visit default is the CLEAN-window cost, not a cap on draws
-    val repsJvm = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_REPS", "2").toInt
+    // 3 timed reps per submit (was 2): when the wall deadline leaves room
+    // for only ONE visit — the common case after a stall-heavy thread pair —
+    // 3 draws per level still yield a true median-of-3 co-estimator instead
+    // of a degenerate 2-sample one, for ~2.5 extra minutes per visit
+    val repsJvm = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_REPS", "3").toInt
     val visits = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_VISITS", "2").toInt
     // stall recovery: a clean multi-JVM level runs ~equal to its thread-
     // mode twin (established r3: 28.01 vs 29.19 s big, 99.01 vs 99.09 s
@@ -288,6 +300,29 @@ object Bench {
       val drawsSmall = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var extraUsed = 0
+      // current-state JSON fragment, shared by the per-visit partial emits
+      // and the final return: a driver-side kill mid-section (the r4 failure
+      // mode) can now lose at most the in-flight visit, never a finished one
+      def fragment(): String = {
+        val eff = (tSmall / tBig) / 4.0
+        val m3Small = med3(drawsSmall.toSeq)
+        val m3Big = med3(drawsBig.toSeq)
+        val effMed3 = (m3Small / m3Big) / 4.0
+        val digestMatch = digBig == digSmall && digBig == threadDigest
+        f""""scaling_multi_jvm":{"master_small":"local-cluster[1,2,8192]",""" +
+          f""""master_big":"local-cluster[4,2,8192]","corpus_rows":$corpusRows,""" +
+          f""""feature_rows":$rowsOut,"sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
+          f""""reps_small":${allSmall.mkString("[", ",", "]")},""" +
+          f""""reps_big":${allBig.mkString("[", ",", "]")},""" +
+          f""""rows_per_sec_small":${(rowsOut / tSmall).toLong},""" +
+          f""""rows_per_sec_big":${(rowsOut / tBig).toLong},""" +
+          f""""efficiency":$eff%.3f,""" +
+          f""""sec_small_med3":$m3Small%.2f,"sec_big_med3":$m3Big%.2f,""" +
+          f""""efficiency_med3":$effMed3%.3f,""" +
+          f""""stall_draws_small":${stallCount(drawsSmall.toSeq)},""" +
+          f""""stall_draws_big":${stallCount(drawsBig.toSeq)},""" +
+          f""""digest_match":$digestMatch}"""
+      }
       def oneVisit(tag: String): Unit = {
         (submitOnce(jar, "local-cluster[4,2,8192]", corpusPath, warmPath, corpusRows, repsJvm),
           submitOnce(jar, "local-cluster[1,2,8192]", corpusPath, warmPath, corpusRows, repsJvm)) match {
@@ -297,6 +332,7 @@ object Bench {
             allBig += rb; allSmall += rs
             drawsBig ++= parseReps(rb); drawsSmall ++= parseReps(rs)
             System.err.println(f"[bench] multi-jvm $tag%s big=$tb%.2f s small=$ts%.2f s")
+            partialEmit(fragment())
           case _ =>
             System.err.println("[bench] multi-jvm submit FAILED — section skipped")
             failed = true
@@ -337,19 +373,7 @@ object Bench {
         val stallsBig = stallCount(drawsBig.toSeq)
         val stallsSmall = stallCount(drawsSmall.toSeq)
         val digestMatch = digBig == digSmall && digBig == threadDigest
-        val json =
-          f""""scaling_multi_jvm":{"master_small":"local-cluster[1,2,8192]",""" +
-            f""""master_big":"local-cluster[4,2,8192]","corpus_rows":$corpusRows,""" +
-            f""""feature_rows":$rowsOut,"sec_small":$tSmall%.2f,"sec_big":$tBig%.2f,""" +
-            f""""reps_small":${allSmall.mkString("[", ",", "]")},""" +
-            f""""reps_big":${allBig.mkString("[", ",", "]")},""" +
-            f""""rows_per_sec_small":${(rowsOut / tSmall).toLong},""" +
-            f""""rows_per_sec_big":${(rowsOut / tBig).toLong},""" +
-            f""""efficiency":$eff%.3f,""" +
-            f""""sec_small_med3":$m3Small%.2f,"sec_big_med3":$m3Big%.2f,""" +
-            f""""efficiency_med3":$effMed3%.3f,""" +
-            f""""stall_draws_small":$stallsSmall,"stall_draws_big":$stallsBig,""" +
-            f""""digest_match":$digestMatch}"""
+        val json = fragment()
         val md =
           f"""|
               |Multi-JVM pair (REAL executor JVMs via spark-submit
@@ -679,7 +703,11 @@ object Bench {
           // twin mins for stall recovery only when the thread pair ran at
           // the local-cluster levels' core counts (2 and 8 — the default)
           if (smallCores == 2 && bigCores == 8) Some((tSmall, tBig)) else None,
-          startNanos + wallBudgetSec * 1000000000L)
+          startNanos + wallBudgetSec * 1000000000L,
+          // per-visit partial emit: each finished multi-JVM visit lands in
+          // the on-disk artifact immediately, so a driver-side kill loses at
+          // most the in-flight visit
+          frag => { multiJvmJson = Some(frag); emit(complete = false) })
       else None
     multiJvmJson = multiJvm.map(_._1)
     multiJvm.foreach(m => totalNow += m._3)
