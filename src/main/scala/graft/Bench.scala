@@ -273,16 +273,17 @@ object Bench {
       threadTwinMins: Option[(Double, Double)],
       deadlineNanos: Long,
       partialEmit: String => Unit): Option[(String, String, Double)] = {
-    // 2 visits by default (r4 ran 3 and the bench exceeded the driver's
-    // wall budget — rc 124, NO artifact); the twin-based stall-recovery
-    // below still extends a contaminated level by up to maxExtra visits,
-    // so the 2-visit default is the CLEAN-window cost, not a cap on draws
-    // 3 timed reps per submit (was 2): when the wall deadline leaves room
-    // for only ONE visit — the common case after a stall-heavy thread pair —
-    // 3 draws per level still yield a true median-of-3 co-estimator instead
-    // of a degenerate 2-sample one, for ~2.5 extra minutes per visit
+    // 1 visit by default (r4 ran 3 and the bench exceeded the driver's
+    // wall budget — rc 124, NO artifact; the r5 full-protocol estimate with
+    // 2 visits x 3 reps still summed past the driver cap): the twin-based
+    // stall-recovery below extends a contaminated level by up to maxExtra
+    // visits, so the 1-visit default is the CLEAN-window cost, not a cap
+    // 3 timed reps per submit: with ONE visit, 3 draws per level still
+    // yield a true median-of-3 co-estimator instead of a degenerate
+    // 2-sample one (the r4 builder artifact recorded exactly that
+    // degeneracy: med3 0.246 from one deadline-cut 2-draw visit)
     val repsJvm = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_REPS", "3").toInt
-    val visits = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_VISITS", "2").toInt
+    val visits = sys.env.getOrElse("SPARK_GRAFT_MULTIJVM_VISITS", "1").toInt
     // stall recovery: a clean multi-JVM level runs ~equal to its thread-
     // mode twin (established r3: 28.01 vs 29.19 s big, 99.01 vs 99.09 s
     // small — the executor-JVM boundary is ~free at workload-sized heaps),
@@ -426,15 +427,17 @@ object Bench {
     val smallCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL", "2").toInt
     val bigCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_BIG", "8").toInt
     val corpusRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "12000000").toLong
-    // 6 reps per level (3 warmed visits x 2), ADAPTIVE: this microVM's
+    // 4 reps per level (2 warmed visits x 2), ADAPTIVE: this microVM's
     // random 30-120 s whole-process stalls poison individual reps (observed
     // same-plan reps of 46..164 s at one level). Round 4 fixed 9 draws per
     // level and the whole bench exceeded the driver's wall budget (rc 124 —
-    // no artifact, the worst outcome). Round 5 instead starts at 6 draws
-    // and EXTENDS only when the min-of-draws efficiency still reads
-    // stall-shaped (below, bounded) — extra draws only add samples to a
-    // minimum estimator, so the extension can de-noise but never bias.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "6").toInt
+    // no artifact, the worst outcome); the r5 first cut (6 draws) still
+    // summed to a ~31-min clean protocol, the same budget class. Round 5
+    // final: start at 4 draws and EXTEND only when the min-of-draws
+    // efficiency still reads stall-shaped (below, bounded) — extra draws
+    // only add samples to a minimum estimator, so the extension can
+    // de-noise but never bias a clean window.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "4").toInt
     // Wall budget (round 5): the driver kills the bench at a fixed wall cap
     // (r4 died there with NO artifact; the 2026-08-19 builder run measured a
     // stall storm stretching single multi-JVM visits to 10+ min and the
@@ -442,7 +445,7 @@ object Bench {
     // the thread pair — extra recovery visits, multi-JVM visits — never
     // STARTS past a deadline, dropping lowest-priority evidence first while
     // the artifact stays complete and parseable.
-    val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "2400").toLong
+    val wallBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WALL_SEC", "1500").toLong
     val startNanos = System.nanoTime()
     def elapsedSec: Long = (System.nanoTime() - startNanos) / 1000000000L
 
@@ -548,7 +551,7 @@ object Bench {
     var digSmall = 0L
     val repsBig = scala.collection.mutable.ArrayBuffer.empty[Double]
     val repsSmall = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val visits = sys.env.getOrElse("SPARK_GRAFT_BENCH_VISITS", "3").toInt
+    val visits = sys.env.getOrElse("SPARK_GRAFT_BENCH_VISITS", "2").toInt
     val inner = math.max(1, (reps + visits - 1) / visits)
     def visitPair(tag: String): Unit = {
       val (tbs, n, db) = level(bigCores, corpusPath, warmPath, corpusRows, inner)
@@ -560,7 +563,13 @@ object Bench {
       rowsOut = n; digBig = db; digSmall = ds
       totalNow += tbs.sum + tss.sum
     }
-    for (r <- 0 until visits) visitPair(s"visit$r")
+    // planned visits after the first are deadline-guarded too (round-5
+    // final fix: only the RECOVERY visits were guarded, so a stall storm
+    // during the planned visits could still walk the whole run past the
+    // driver cap; visit 0 always runs — without it there is no pair at all)
+    for (r <- 0 until visits
+         if r == 0 || elapsedSec < wallBudgetSec * 7 / 10)
+      visitPair(s"visit$r")
     // Efficiency-triggered stall recovery (round-5, advice item 3): the r4
     // driver window poisoned one visit's big level (draws 75/45/36 s vs a
     // 30-33 s consensus re-measured minutes later) and the tail-computed
