@@ -98,7 +98,10 @@ object QueriesCorpus {
       Dumps.write(stats, "decode_stats")
       stats.groupBy(col("fmt"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("px_mean")), 4).as("avg_px_mean"),
+          // px_mean is a 4dp-grid per-image value; its cross-partition avg is
+          // an order-sensitive double sum, so it takes the house non-grid
+          // epsilon (FeaturePipeline convention) before the 4dp round
+          round(avg(col("px_mean")) + 1.7e-8, 4).as("avg_px_mean"),
           sum(when(col("phash_matches"), 1L).otherwise(0L)).as("n_phash_ok"))
     }),
 
@@ -123,7 +126,7 @@ object QueriesCorpus {
       val frames = Multimodal.frameSample(Corpus.images(s, P), everyK = 4).toDF()
       Dumps.write(frames, "frame_stats")
       frames.groupBy(col("image_id")).agg(count(lit(1)).as("n_frames"),
-        round(avg(col("px_mean")), 4).as("mean_frame_px"))
+        round(avg(col("px_mean")) + 1.7e-8, 4).as("mean_frame_px"))
     }),
 
     // training-data image quality gate: resolution / aspect / fmt /
@@ -332,7 +335,7 @@ object QueriesCorpus {
     "corpus_feature_increment" ->
       (featsSql + s"SELECT * FROM feats WHERE seq >= ${P.rows / 2}"),
     "mm_decode_stats" ->
-      s"""SELECT fmt, count(*) AS n, round(avg(px_mean), 4) AS avg_px_mean,
+      s"""SELECT fmt, count(*) AS n, round(avg(px_mean) + 1.7e-8, 4) AS avg_px_mean,
          |  CAST(sum(CASE WHEN phash_matches THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_ok
          |FROM read_parquet('${Dumps.Dir}/decode_stats.parquet/*.parquet')
          |GROUP BY 1""".stripMargin,
@@ -340,7 +343,7 @@ object QueriesCorpus {
     // wrong fan-out in the Spark flatMap shows as a count mismatch
     "mm_frame_sample" ->
       s"""SELECT f.image_id, CAST((ev.h + 3) // 4 AS BIGINT) AS n_frames,
-         |  round(avg(f.px_mean), 4) AS mean_frame_px
+         |  round(avg(f.px_mean) + 1.7e-8, 4) AS mean_frame_px
          |FROM read_parquet('${Dumps.Dir}/frame_stats.parquet/*.parquet') f
          |JOIN read_parquet('$D/events.parquet/*.parquet') ev
          |  ON ev.image_id = f.image_id

@@ -30,9 +30,17 @@ object QueriesRel {
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          // Sums accumulate in DECIMAL, not DOUBLE: the cast recovers the
+          // exact 2dp/4dp grid value per row (double ulp error << 5e-5), and
+          // decimal addition is exact AND associative, so the rounded result
+          // is identical at every partition layout and in the oracle engine.
+          // A double sum here carries ~1e-4-scale order-dependent error at
+          // sf0.1 magnitudes — enough to flip round(·, 2) when a group's
+          // true sum lands on a half-cent boundary (the r4 failure class).
+          round(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double"), 2).as("sum_base_price"),
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"), 2).as("sum_disc_price"),
           round(avg(col("l_quantity")) + 1.7e-8, 4).as("avg_qty"),
           round(avg(col("l_discount")) + 1.7e-8, 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -181,9 +189,9 @@ object QueriesRel {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
-         round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
-         round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
          round(CAST(avg(l_quantity) AS DOUBLE) + 1.7e-8, 4) AS avg_qty,
          round(CAST(avg(l_discount) AS DOUBLE) + 1.7e-8, 4) AS avg_disc,
          count(*) AS count_order
