@@ -29,11 +29,36 @@ object QueriesR4 {
     * one line (the operator itself is delimiter-generic — production feeds
     * real '\n' pages). The oracle rebuilds the same chunking in SQL.
     */
-  private def linedText(text: org.apache.spark.sql.Column) = {
+  private[graft] def linedText(text: org.apache.spark.sql.Column) = {
     val tk = Text.tokens(text)
     concat_ws("\n",
       transform(sequence(lit(0), floor((size(tk) - 1) / 4).cast("int")),
         i => concat_ws(" ", slice(tk, i * 4 + 1, lit(4)))))
+  }
+
+  /** Typed twin of [[linedText]] (spec-asserted byte-equal, incl. the
+    * null → '' and zero-token → '\n' edge cases the expression form
+    * produces): one tokenizer pass + one StringBuilder instead of a
+    * sequence/transform/slice/concat_ws HOF chain — which, evaluated
+    * interpreted on the single-input-task documents table, was ~60% of
+    * dd_line_dedup's whole cost (it runs once per dedup pass, so twice).
+    */
+  private[graft] val linedTextFast = udf { (t: String) =>
+    if (t == null) ""
+    else {
+      val toks = graft.operators.Dedup.fastTokens(t)
+      if (toks.isEmpty) "\n" // sequence(0, -1) yields two empty groups
+      else {
+        val sb = new java.lang.StringBuilder(t.length + 8)
+        var i = 0
+        while (i < toks.length) {
+          if (i > 0) sb.append(if (i % 4 == 0) '\n' else ' ')
+          sb.append(toks(i))
+          i += 1
+        }
+        sb.toString
+      }
+    }
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -42,7 +67,7 @@ object QueriesR4 {
     "dd_line_dedup" -> ((s, d) =>
       Dedup.dedupLines(
         t(s, d, "documents").select(col("doc_id"),
-          linedText(col("text")).as("text")),
+          linedTextFast(col("text")).as("text")),
         "doc_id", "text", sep = "\n", maxDocs = 1)),
 
     // ---- DD: benchmark decontamination (n-gram overlap vs eval set) --------

@@ -86,8 +86,12 @@ object QueriesR5 {
     "txt_quality_classifier" -> ((s, d) => {
       val docs = t(s, d, "documents")
       Dumps.write(Quality.bucketMap(docs, "text", Dim), "nb_buckets")
+      // fast-kernel token count for the weak label (spec-asserted equal to
+      // size(Text.tokens(text)) incl. null semantics): the label column is
+      // evaluated in two full training passes, and the HOF form was the
+      // dominant per-row cost on the single-input-task documents table
       Quality.nbClassifierScore(docs, "doc_id", "text",
-        size(Text.tokens(col("text"))) > LabelMinTokens, dim = Dim)
+        Text.tokenCountFast(col("text")) > LabelMinTokens, dim = Dim)
     }),
 
     "txt_c4_clean" -> ((s, d) => {
@@ -147,32 +151,41 @@ object QueriesR5 {
       val docs = t(s, d, "documents").withColumn("text", funnelPlanted)
       Dumps.write(docs.select(col("doc_id"),
         xxhash64(lit(19L), col("doc_id")).as("h")), "funnel_h")
-      val c4 = Curation.c4Clean(docs, "doc_id", "text")
-        .select(col("doc_id"), col("keep").as("__c4"), col("cleaned_text"))
-      val gop = Curation.gopherGate(
-          c4.select(col("doc_id"), col("cleaned_text").as("text")),
-          "doc_id", "text", stopwords = Seq("the", "a"), minWords = 10,
-          maxDupFrac = 0.6)
-        .select(col("doc_id"), col("keep").as("__gop"))
-      // ONE corpus pass computes every per-doc stage input (C4+Gopher
-      // flags, the 8-byte dedup hash, the token count), then a NARROW
-      // persist — id, lang, two flags, two longs, never the text — feeds
-      // the three downstream consumers (stage labeling, dedup canon,
-      // budget). Unpersisted, the C4+Gopher subtree (regex cleaning +
-      // word stats) re-evaluates once per consumer branch (measured ~3x).
-      // At warehouse scale this is the staging table a funnel job
-      // materializes between passes.
-      val staged = Caches.cache(docs.select(col("doc_id"), col("lang"))
-        .join(c4, "doc_id").join(gop, "doc_id")
+      // ONE corpus pass — ZERO joins — computes every per-doc stage input
+      // (C4 keep + cleaned text, Gopher keep over the cleaned text, the
+      // 8-byte dedup hash, the token count), then a NARROW persist — id,
+      // lang, two flags, two longs, never the text — feeds the three
+      // downstream consumers (stage labeling, dedup canon, budget).
+      // Round 6 (verdict item): the previous staging built the same frame
+      // via TWO corpus-sized self-joins of per-row projections — at fact
+      // scale, three scans and two full exchanges carrying cleaned_text
+      // where a single projection suffices. The C4 fields and Gopher rule
+      // chain are the operators' own shared builders, so the stage
+      // semantics exist exactly once; the Gopher signals come from the
+      // typed kernel (bit-equal to the HOF form, CurationSpec).
+      // PlanShapeSpec asserts zero Exchange below the staging persist.
+      // Gopher's word count IS the token count of the cleaned text, so
+      // __tok reuses it instead of re-tokenizing.
+      val (_, _, c4Reason, c4Cleaned) = Curation.c4Fields(col("text"))
+      val gsig = col("__gsig")
+      val gopReason = Curation.gopherReason(col("__ct"), gsig("wc"),
+        gsig("mwl"), gsig("alpha_frac"), gsig("n_stop"), gsig("dup_frac"),
+        minWords = 10, maxWords = 100000, minAlphaFrac = 0.8,
+        maxDupFrac = 0.6)
+      val staged = Caches.cache(docs
+        .withColumn("__c4", c4Reason.isNull)
+        .withColumn("__ct", c4Cleaned)
+        .withColumn("__gsig",
+          Curation.gopherSignalsFast(Seq("the", "a"))(col("__ct")))
+        .withColumn("__gop", gopReason.isNull)
         // dedup shuffles the 8-byte text hash, never the text (the
         // Dedup.dedupLines key discipline); the oracle groups by the text
         // itself — identical groups absent a 64-bit collision
         .withColumn("__ch",
-          when(col("__c4") && col("__gop"), xxhash64(col("cleaned_text"))))
+          when(col("__c4") && col("__gop"), xxhash64(col("__ct"))))
         .withColumn("__tok",
-          when(col("__c4") && col("__gop"),
-            Text.tokenCount(col("cleaned_text")).cast("long")))
-        .drop("cleaned_text"))
+          when(col("__c4") && col("__gop"), gsig("wc").cast("long")))
+        .select("doc_id", "lang", "__c4", "__gop", "__ch", "__tok"))
       val surv12 = staged.where(col("__c4") && col("__gop"))
       val canon = surv12.groupBy(col("__ch"))
         .agg(min(col("doc_id")).as("__keep_id"))

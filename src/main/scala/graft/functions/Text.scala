@@ -16,6 +16,38 @@ object Text {
   /** Token count (whitespace tokenizer). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Typed single-pass twin of [[tokenCount]]: counts maximal runs of
+    * non-whitespace chars (the exact `\s` class of split("\\s+")) without
+    * materializing the token array — µs/row vs the interpreted
+    * split+filter HOF pair, the same `*Fast` policy as
+    * [[graft.operators.Dedup.fastTokens]] (spec-asserted equal, including
+    * the null → null convention of size-over-null-array).
+    */
+  val tokenCountFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        var n = 0
+        var i = 0
+        val len = text.length
+        while (i < len) {
+          val c = text.charAt(i)
+          if (c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r') {
+            i += 1
+          } else {
+            n += 1
+            var j = i + 1
+            while (j < len && {
+              val d = text.charAt(j)
+              !(d == ' ' || d == '\t' || d == '\n' || d == '' || d == '\f' || d == '\r')
+            }) j += 1
+            i = j
+          }
+        }
+        java.lang.Integer.valueOf(n)
+      }
+    }
+
   /** BPE-ish subword-count proxy: words + extra units for long words and
     * digit/punctuation boundaries — a deterministic stand-in for a real
     * tokenizer's token count (the container has no tokenizer libs).

@@ -37,6 +37,19 @@ object Caches {
     df
   }
 
+  /** The compute plan BELOW each registered persist (the cached-relation
+    * child plan), for plan-shape assertions — e.g. "the funnel staging
+    * pass is a zero-Exchange projection" (PlanShapeSpec).
+    */
+  def snapshotPlans(): Seq[String] = synchronized {
+    registered.toSeq.map { df =>
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan.toString
+      }.getOrElse(df.queryExecution.executedPlan.toString)
+    }
+  }
+
   def releaseAll(): Unit = synchronized {
     registered.foreach(df =>
       try df.unpersist(blocking = true) catch { case _: Throwable => () })

@@ -41,9 +41,12 @@ object Curation {
     * keep, cleaned_text — kept lines re-joined, empty string when the
     * page is rejected so downstream never trains on a rejected page).
     */
-  def c4Clean(df: DataFrame, id: String, text: String,
-      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
-    val t = col(text)
+  /** The C4 per-row columns as named fields over `t` — ONE definition
+    * shared by [[c4Clean]] and inline consumers (the curation funnel's
+    * zero-join staging pass): (n_lines, n_kept, reject_reason, cleaned).
+    */
+  private[graft] def c4Fields(t: Column, minLineWords: Int = 5,
+      minKeptLines: Int = 3): (Column, Column, Column, Column) = {
     val lines = split(t, "\r?\n", -1)
     val keepLine = (l: Column) =>
       substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
@@ -53,13 +56,20 @@ object Curation {
       .when(lower(t).contains("lorem ipsum"), "lorem_ipsum")
       .when(t.contains("{"), "brace")
       .when(size(kept) < minKeptLines, "too_few_lines")
+    (coalesce(size(lines), lit(0)), coalesce(size(kept), lit(0)), reason,
+      when(reason.isNull, array_join(kept, "\n")).otherwise(lit("")))
+  }
+
+  def c4Clean(df: DataFrame, id: String, text: String,
+      minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
+    val (nLines, nKept, reason, cleaned) =
+      c4Fields(col(text), minLineWords, minKeptLines)
     df.select(col(id),
-      coalesce(size(lines), lit(0)).as("n_lines"),
-      coalesce(size(kept), lit(0)).as("n_kept"),
+      nLines.as("n_lines"),
+      nKept.as("n_kept"),
       reason.as("reject_reason"),
       reason.isNull.as("keep"),
-      when(reason.isNull, array_join(kept, "\n")).otherwise(lit(""))
-        .as("cleaned_text"))
+      cleaned.as("cleaned_text"))
   }
 
   /** Gopher document-quality gate (Rae et al. 2021 §A.1.1), first failing
@@ -73,10 +83,72 @@ object Curation {
     * `txt_repetition`). Emits the measured signals alongside the verdict
     * so rejections are auditable.
     */
-  def gopherGate(df: DataFrame, id: String, text: String,
-      stopwords: Seq[String], minWords: Int = 50, maxWords: Int = 100000,
-      minAlphaFrac: Double = 0.8, maxDupFrac: Double = 0.5): DataFrame = {
-    val t = col(text)
+  /** Raw per-row Gopher signals. The five fields mirror the expression
+    * formulation ([[gopherSignalsExpr]], kept as the spec reference) value
+    * for value — same token set, same UTF8String char counts / lowercase,
+    * same double division order — so [[gopherGate]] built on either is
+    * bit-identical (asserted in CurationSpec).
+    */
+  final case class GopherSignals(wc: Int, mwl: Double, alpha_frac: Double,
+      n_stop: Int, dup_frac: Double)
+
+  /** Typed single-pass Gopher signal kernel: one tokenizer scan computes
+    * word count, summed char lengths, alpha-token count, distinct-token
+    * count and the distinct-stopword hits — replacing FIVE interpreted
+    * array-HOF expressions per row (the round-1 MinHash lesson; the HOF
+    * form stays as the spec oracle). Char counts and lowercasing go
+    * through UTF8String — exactly what the length()/lower() expressions
+    * execute — so the doubles are bit-equal by construction.
+    */
+  private[graft] def gopherSignalsFast(stopwords: Seq[String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val stopSet = stopwords.toSet
+    udf { (t: String) =>
+      if (t == null) GopherSignals(0, 0.0, 0.0, 0, 0.0)
+      else {
+        val toks = Dedup.fastTokens(t)
+        val n = toks.length
+        if (n == 0) GopherSignals(0, 0.0, 0.0, 0, 0.0)
+        else {
+          var lenSum = 0L
+          var alphaCnt = 0
+          val distinct = new java.util.HashSet[String](n * 2)
+          val stopsSeen = new java.util.HashSet[String](4)
+          var i = 0
+          while (i < n) {
+            val tok = toks(i)
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(tok)
+            lenSum += u.numChars()
+            var hasAlpha = false
+            var j = 0
+            while (!hasAlpha && j < tok.length) {
+              val c = tok.charAt(j)
+              if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+              j += 1
+            }
+            if (hasAlpha) alphaCnt += 1
+            distinct.add(tok)
+            val lowered = u.toLowerCase.toString
+            if (stopSet(lowered)) stopsSeen.add(lowered)
+            i += 1
+          }
+          GopherSignals(n,
+            lenSum.toDouble / n,
+            alphaCnt.toDouble / n,
+            stopsSeen.size,
+            1.0 - distinct.size.toDouble / n)
+        }
+      }
+    }
+  }
+
+  /** The expression (HOF) formulation of the five Gopher signals — the
+    * REFERENCE semantics, retained as the bit-equality oracle for
+    * [[gopherSignalsFast]] (CurationSpec) exactly like
+    * [[Dedup.minhashSignature]] vs its Fast twin.
+    */
+  private[graft] def gopherSignalsExpr(t: Column, stopwords: Seq[String])
+      : (Column, Column, Column, Column, Column) = {
     val toks = Text.tokens(t)
     val wc = coalesce(size(toks), lit(0))
     val mwl = when(wc > 0,
@@ -89,21 +161,42 @@ object Curation {
       size(array_intersect(array_distinct(transform(toks, lower _)),
         array(stopwords.map(lit(_)): _*))), lit(0))
     val dupFrac = Text.dupWordFrac(t)
-    val reason = when(t.isNull, "missing_text")
+    (wc, mwl, alphaFrac, nStop, dupFrac)
+  }
+
+  /** The first-failing Gopher rule over signal columns — shared by
+    * [[gopherGate]] and inline consumers (the funnel staging pass) so the
+    * rule order exists exactly once.
+    */
+  private[graft] def gopherReason(t: Column, wc: Column, mwl: Column,
+      alphaFrac: Column, nStop: Column, dupFrac: Column, minWords: Int,
+      maxWords: Int, minAlphaFrac: Double, maxDupFrac: Double): Column =
+    when(t.isNull, "missing_text")
       .when(wc < minWords, "too_few_words")
       .when(wc > maxWords, "too_many_words")
       .when(mwl < 3.0 || mwl > 10.0, "word_length")
       .when(alphaFrac < minAlphaFrac, "non_alpha_words")
       .when(nStop < 2, "stopwords")
       .when(dupFrac > maxDupFrac, "repetition")
-    df.select(col(id),
-      wc.as("word_count"),
-      round(mwl + 1.7e-8, 4).as("mean_word_len"),
-      round(alphaFrac + 1.7e-8, 4).as("alpha_frac"),
-      nStop.as("n_stopwords"),
-      round(dupFrac + 1.7e-8, 4).as("dup_frac"),
-      reason.as("reject_reason"),
-      reason.isNull.as("keep"))
+
+  def gopherGate(df: DataFrame, id: String, text: String,
+      stopwords: Seq[String], minWords: Int = 50, maxWords: Int = 100000,
+      minAlphaFrac: Double = 0.8, maxDupFrac: Double = 0.5): DataFrame = {
+    val t = col(text)
+    val sig = col("__gsig")
+    val (wc, mwl, af, ns, dp) = (sig("wc"), sig("mwl"), sig("alpha_frac"),
+      sig("n_stop"), sig("dup_frac"))
+    val reason = gopherReason(t, wc, mwl, af, ns, dp,
+      minWords, maxWords, minAlphaFrac, maxDupFrac)
+    df.withColumn("__gsig", gopherSignalsFast(stopwords)(t))
+      .select(col(id),
+        wc.as("word_count"),
+        round(mwl + 1.7e-8, 4).as("mean_word_len"),
+        round(af + 1.7e-8, 4).as("alpha_frac"),
+        ns.as("n_stopwords"),
+        round(dp + 1.7e-8, 4).as("dup_frac"),
+        reason.as("reject_reason"),
+        reason.isNull.as("keep"))
   }
 
   // PII patterns shared by redaction and counting. RE2/Java-regex common

@@ -69,11 +69,18 @@ object Quality {
         s"(pos=$nPos, neg=$nNeg) — the log-count-ratio model is undefined; " +
         "pick a label that splits the corpus")
     // ONE corpus-sized pass: per-doc DISTINCT terms (binarized features)
-    // -> bucket counts per class, map-side combined, D-bounded exchange
+    // -> bucket counts per class, map-side combined, D-bounded exchange.
+    // The per-doc bucket list comes from the typed kernel (tokenize,
+    // dedupe, hash, floorMod in one loop — the same arithmetic the scoring
+    // UDF below runs) instead of the interpreted
+    // explode(array_distinct(tokens)) + xxhash64-expression chain, which
+    // evaluated four HOF trees per row AND exploded term STRINGS into the
+    // aggregation (round-6: 2.5x the whole query's cost on the
+    // single-input-task documents table). Multiset equality with the
+    // expression form is asserted in QualitySpec.
     val counts = df
-      .select(y.as("__y"),
-        explode(array_distinct(Text.tokens(col(text)))).as("__t"))
-      .groupBy(pmod(xxhash64(col("__t")), lit(dim.toLong)).as("__h"))
+      .select(y.as("__y"), explode(distinctBucketsFast(dim)(col(text))).as("__h"))
+      .groupBy(col("__h"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("pos"),
         sum(when(col("__y"), 0L).otherwise(1L)).as("neg"))
       .collect()
@@ -112,6 +119,35 @@ object Quality {
     df.select(col(id), score(col(text)).as("__c"))
       .select(col(id), col("__c._1").as("n_terms"),
         col("__c._2").as("score"), col("__c._3").as("pred"))
+  }
+
+  /** One hash bucket per DISTINCT in-document term, as one typed pass:
+    * the kernel twin of `explode(array_distinct(Text.tokens(text)))` +
+    * `pmod(xxhash64(term), dim)` — same tokenizer (fastTokens), same
+    * Catalyst XXH64(seed 42) over UTF-8 bytes, same floorMod. Emits one
+    * element PER DISTINCT TERM (not per distinct bucket): two terms
+    * sharing a bucket must count twice, exactly as the expression form
+    * does. Null text yields an empty array (explode of a null-token doc
+    * emits no rows either way).
+    */
+  private[graft] def distinctBucketsFast(dim: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val dimLocal = dim.toLong
+    udf { (t: String) =>
+      val toks = Dedup.fastTokens(t)
+      val seen = new java.util.HashSet[String](toks.length * 2)
+      val out = new scala.collection.mutable.ArrayBuffer[Long](toks.length)
+      var i = 0
+      while (i < toks.length) {
+        if (seen.add(toks(i))) {
+          val b = toks(i).getBytes(StandardCharsets.UTF_8)
+          val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+          out += Math.floorMod(h, dimLocal)
+        }
+        i += 1
+      }
+      out.toArray
+    }
   }
 
   /** The corpus' distinct (term, bucket) map — what a cross-engine oracle

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.{Curation, Quality}
+
+/** Bit-equality of the round-6 typed kernels against their interpreted
+  * expression (HOF) reference formulations — the house `*Fast` policy
+  * (cf. DedupSimilaritySpec for minhash/simhash/gram kernels): the HOF
+  * form is the semantics, the kernel must reproduce it exactly, byte for
+  * byte / double for double, including null and empty edge cases.
+  */
+class KernelTwinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Edge inputs + pseudo-corpus docs (deterministic). */
+  private val docs: Seq[(Long, String)] = {
+    val edge = Seq(
+      null.asInstanceOf[String], "", " ", "   \t\n ", "\f\r",
+      "a", "a b", "a b c", "a b c d", "a b c d e", "a b c d e f g h i",
+      "  leading and trailing   ", "tab\tsep\nnewline mix\r\nhere now ok",
+      "the a the a THE A tHe", "héllo wörld ÉÀ ßharp",
+      "𝕏 wide char a b", "!!! ??? ... (x) {y}",
+      "word " * 30, "supercalifragilisticexpialidocious tiny a the",
+      "número uno dos tres the a,b c.d")
+    val gen = (0 until 200).map { i =>
+      val words = (0 until (i % 13)).map(j =>
+        s"w${(i * 31 + j * 7) % 23}" + (if ((i + j) % 5 == 0) "." else ""))
+      words.mkString(if (i % 3 == 0) " " else if (i % 3 == 1) "  " else "\t")
+    }
+    (edge ++ gen).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  private lazy val df = docs.toDF("id", "text")
+
+  test("tokenCountFast == size(Text.tokens) incl. null semantics") {
+    val got = df.select(col("id"), Text.tokenCountFast(col("text")).as("fast"),
+      Text.tokenCount(col("text")).as("ref")).collect()
+    got.foreach { r =>
+      assert(r.get(1) === r.get(2), s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("gopherSignalsFast == the HOF signal expressions, all five fields") {
+    val stop = Seq("the", "a")
+    val (wc, mwl, af, ns, dp) = Curation.gopherSignalsExpr(col("text"), stop)
+    val sig = Curation.gopherSignalsFast(stop)(col("text"))
+    // the expression formulation's null-text conventions (coalesce-to-0 /
+    // otherwise-0.0) applied HERE, exactly as gopherGate's select does
+    val got = df.select(col("id"),
+      sig("wc"), sig("mwl"), sig("alpha_frac"), sig("n_stop"), sig("dup_frac"),
+      coalesce(wc, lit(0)), mwl, af, coalesce(ns, lit(0)), dp).collect()
+    got.foreach { r =>
+      assert(r.getInt(1) === r.getInt(6), s"wc id=${r.getLong(0)}")
+      assert(java.lang.Double.compare(r.getDouble(2), r.getDouble(7)) == 0,
+        s"mwl id=${r.getLong(0)}: ${r.getDouble(2)} vs ${r.getDouble(7)}")
+      assert(java.lang.Double.compare(r.getDouble(3), r.getDouble(8)) == 0,
+        s"alpha id=${r.getLong(0)}")
+      assert(r.getInt(4) === r.getInt(9), s"n_stop id=${r.getLong(0)}")
+      assert(java.lang.Double.compare(r.getDouble(5), r.getDouble(10)) == 0,
+        s"dup id=${r.getLong(0)}")
+    }
+  }
+
+  test("gopherGate over the kernel == the expression formulation, full row") {
+    val stop = Seq("the", "a")
+    val gate = Curation.gopherGate(df, "id", "text", stop,
+      minWords = 5, maxDupFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // reference gate rebuilt from the expression signals with the same
+    // reason chain + rounding
+    val (wc, mwl, af, ns, dp) = Curation.gopherSignalsExpr(col("text"), stop)
+    val reason = Curation.gopherReason(col("text"), coalesce(wc, lit(0)), mwl,
+      af, coalesce(ns, lit(0)), dp, 5, 100000, 0.8, 0.5)
+    val ref = df.select(col("id"), coalesce(wc, lit(0)).as("word_count"),
+      round(mwl + 1.7e-8, 4).as("mean_word_len"),
+      round(af + 1.7e-8, 4).as("alpha_frac"),
+      coalesce(ns, lit(0)).as("n_stopwords"),
+      round(dp + 1.7e-8, 4).as("dup_frac"),
+      reason.as("reject_reason"), reason.isNull.as("keep")).collect()
+    ref.foreach { r =>
+      val g = gate(r.getLong(0))
+      (1 until r.length).foreach { i =>
+        assert(g.get(i) === r.get(i), s"id=${r.getLong(0)} field $i")
+      }
+    }
+  }
+
+  test("linedTextFast == the sequence/slice/concat_ws expression, byte-equal") {
+    val got = df.select(col("id"),
+      QueriesR4.linedTextFast(col("text")).as("fast"),
+      QueriesR4.linedText(col("text")).as("ref")).collect()
+    got.foreach { r =>
+      assert(r.getString(1) === r.getString(2),
+        s"id=${r.getLong(0)}: '${r.getString(1)}' vs '${r.getString(2)}'")
+    }
+  }
+
+  test("distinctBucketsFast multiset == explode(array_distinct)+pmod(xxhash64)") {
+    val dim = 4096
+    val fast = df.select(
+        explode(Quality.distinctBucketsFast(dim)(col("text"))).as("h"))
+      .groupBy("h").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df.select(
+        explode(array_distinct(Text.tokens(col("text")))).as("t"))
+      .groupBy(pmod(xxhash64(col("t")), lit(dim.toLong)).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === ref)
+  }
+}

@@ -190,8 +190,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // and every cache probe must read the narrow (id, lang, flags, hash,
     // tokens) projection — the document text is consumed inside the one
     // staging pass and never enters the cache scans or anything above them
-    assert(scans.forall(s => !s.contains("cleaned_text") && !s.contains("text#")),
+    assert(scans.forall(s => !s.contains("cleaned_text") && !s.contains("text#")
+        && !s.contains("__ct")),
       s"text column leaked into a staging-cache scan:\n${scans.mkString("\n")}")
+    graft.operators.Caches.releaseAll()
+  }
+
+  test("curation funnel staging pass is a ZERO-JOIN, zero-Exchange projection") {
+    // round-6 (verdict item 3): the staging frame used to be built via two
+    // corpus-sized self-joins of pure projections — at fact scale, three
+    // scans and two full exchanges carrying cleaned_text. The C4 fields,
+    // Gopher kernel, dedup hash and token count are per-row functions, so
+    // the plan BELOW the staging persist must be scan -> projections only.
+    val df = SparkEntry.queries("curation_funnel")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val cached = graft.operators.Caches.snapshotPlans()
+    val staging = cached.find(_.contains("doc_id")).getOrElse(
+      fail("no cached staging plan found"))
+    Seq("Exchange", "Join", "HashAggregate", "Window").foreach { op =>
+      assert(!staging.contains(op),
+        s"staging pass should be a pure projection but contains $op:\n$staging")
+    }
     graft.operators.Caches.releaseAll()
   }
 }
