@@ -124,17 +124,41 @@ object FeaturePipeline {
         }
         i += 1
       }
-      (n, sw, dm, dmr, dss)
+      // punctuation-codepoint count, folded into this same pass (round 6):
+      // the Text.punctRatio expression ran a full regexp_replace building a
+      // stripped COPY of every caption just to count [^a-zA-Z0-9\s] chars —
+      // a second corpus-sized string pass. This counts codepoints exactly
+      // as the regex does (Java \s = the six ASCII ws chars; codepoints
+      // over U+007F never match the class).
+      var pc = 0
+      if (caption != null) {
+        var ci = 0
+        while (ci < caption.length) {
+          val cp = caption.codePointAt(ci)
+          val matched = cp < 128 && ((cp >= 'a' && cp <= 'z') ||
+            (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9') ||
+            cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+            cp == '\f' || cp == '\r')
+          if (!matched) pc += 1
+          ci += Character.charCount(cp)
+        }
+      }
+      (n, sw, dm, dmr, dss, pc)
     })
     // (CollapseProject never duplicates non-cheap exprs like UDF calls, so
     // the single "__tf" alias is evaluated once per row.)
     val tf = tfUdf(col("topic"), col("caption"))
-      .cast("struct<n:int,sw:int,dm:int,dmr:int,dss:double>")
+      .cast("struct<n:int,sw:int,dm:int,dmr:int,dss:double,pc:int>")
     // quality formula mirrors Text.qualityScore exactly (golden-spec'd)
     val nD = col("__tf")("n").cast("double")
     val swr = when(col("__tf")("n") > 0, col("__tf")("sw") / nD).otherwise(lit(0.0))
     val lenScore = least(nD / lit(8.0), lit(1.0))
-    val punct = Text.punctRatio(col("caption"))
+    // same value as Text.punctRatio(caption): pc is the kernel-counted
+    // twin of length(regexp_replace(caption, "[a-zA-Z0-9\\s]", "")), and
+    // the Int -> double division is unchanged (KernelTwinSpec)
+    val punct = when(length(col("caption")) > 0,
+      col("__tf")("pc").cast("double") / length(col("caption")))
+      .otherwise(lit(0.0))
     val swScore = lit(1.0) - abs(swr - lit(0.35)) / lit(0.65)
     val scalar = withTopic
       .withColumn("__tf", tf)
