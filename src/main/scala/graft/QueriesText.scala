@@ -59,13 +59,29 @@ object QueriesText {
         .filter(col("n") >= 100)),
 
     // ---- TXT: per-document token stats + BPE-proxy count ----------------------
-    "txt_token_stats" -> ((s, d) =>
-      t(s, d, "documents").select(col("doc_id"),
-        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
-        Text.bpeTokenCount(col("text")).as("n_bpe"),
-        round(Text.meanTokenLen(col("text")), 4).as("mean_tok_len"),
-        round(Text.stopwordRatio(col("text"), Corpus.Stopwords), 4).as("stopword_ratio"),
-        round(Text.punctRatio(col("text")), 4).as("punct_ratio"))),
+    // round 6: ONE counting-kernel pass (tokens, chars, length sum,
+    // stopword hits, punct chars) replaces five interpreted HOF/regex
+    // passes per row; every ratio/round stays the expression twins' own
+    // arithmetic over the counts, so values are bit-identical
+    // (KernelTwinSpec + oracle)
+    "txt_token_stats" -> ((s, d) => {
+      val st = col("__ts")
+      val n = st("_1"); val chars = st("_2"); val lenSum = st("_3")
+      val sw = st("_4"); val pc = st("_5")
+      t(s, d, "documents")
+        .withColumn("__ts", Text.tokenStatsFast(Corpus.Stopwords)(col("text")))
+        .select(col("doc_id"),
+          n.cast("long").as("n_tokens"),
+          (n + greatest(lit(0.0),
+            floor((chars - n * lit(6)) / lit(4.0)))).cast("long").as("n_bpe"),
+          round(when(n > 0, lenSum.cast("double") / n).otherwise(lit(0.0)), 4)
+            .as("mean_tok_len"),
+          round(when(n > 0, sw.cast("double") / n).otherwise(lit(0.0)), 4)
+            .as("stopword_ratio"),
+          round(when(length(col("text")) > 0,
+            pc.cast("double") / length(col("text"))).otherwise(lit(0.0)), 4)
+            .as("punct_ratio"))
+    }),
 
     // ---- TXT: Gopher-style repetition signals ---------------------------------
     // dup-word fraction + top-bigram share, zero-shuffle per-document HOFs;

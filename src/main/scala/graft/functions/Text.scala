@@ -48,6 +48,64 @@ object Text {
       }
     }
 
+  /** Single-pass counting kernel for the token-stats family: ONE tokenizer
+    * scan yields (n tokens, non-whitespace codepoints, summed token char
+    * lengths, stopword occurrences, punctuation codepoints) — the raw
+    * integer inputs of [[tokenCount]]/[[bpeTokenCount]]/[[meanTokenLen]]/
+    * [[stopwordRatio]]/[[punctRatio]], which previously ran five separate
+    * interpreted HOF/regex passes per row. Every RATIO stays an expression
+    * over these counts, so the double arithmetic is the expressions' own —
+    * the kernel only counts (KernelTwinSpec asserts each derived column
+    * equal to its expression twin). Char counts are codepoint counts
+    * (UTF8String numChars semantics); the \s class is the exact six ASCII
+    * chars of Java regex \s. Null text returns a null struct — the
+    * expression forms' null algebra then applies unchanged.
+    */
+  def tokenStatsFast(stopwords: Seq[String])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val stopSet = stopwords.toSet
+    udf { (text: String) =>
+      if (text == null) null
+      else {
+        var n = 0            // tokens
+        var nwsChars = 0     // non-whitespace codepoints
+        var lenSum = 0L      // summed per-token codepoint lengths
+        var sw = 0           // stopword token occurrences
+        var punct = 0        // non-[a-zA-Z0-9\s] codepoints
+        val len = text.length
+        var i = 0
+        var tokStart = -1
+        var tokChars = 0
+        def endToken(end: Int): Unit = {
+          if (tokStart >= 0) {
+            n += 1
+            lenSum += tokChars
+            if (stopSet.contains(text.substring(tokStart, end))) sw += 1
+            tokStart = -1
+            tokChars = 0
+          }
+        }
+        while (i < len) {
+          val cp = text.codePointAt(i)
+          val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+            cp == '\f' || cp == '\r'
+          if (isWs) endToken(i)
+          else {
+            if (tokStart < 0) tokStart = i
+            tokChars += 1
+            nwsChars += 1
+            val alnum = cp < 128 && ((cp >= 'a' && cp <= 'z') ||
+              (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9'))
+            if (!alnum) punct += 1
+          }
+          i += Character.charCount(cp)
+        }
+        endToken(len)
+        (n, nwsChars, lenSum, sw, punct)
+      }: (Int, Int, Long, Int, Int)
+    }
+  }
+
   /** BPE-ish subword-count proxy: words + extra units for long words and
     * digit/punctuation boundaries — a deterministic stand-in for a real
     * tokenizer's token count (the container has no tokenizer libs).

@@ -304,21 +304,26 @@ object Similarity {
     val cents = collectCentroids(df, id, vec, nlist, centroids)
     val raw = Caches.cache(df.select(col(id), col(vec),
       nearestCellsUdf(cents, 1)(col(vec))(0).as("cell")))
-    // one-row rail relation: hottest cell (size, id); evaluating __ok
-    // throws when it exceeds the bound. The filter on __ok keeps Catalyst
-    // from pruning the guard away.
-    val rail = raw.groupBy("cell").agg(count(lit(1)).as("__cn"))
-      .agg(max(struct(col("__cn"), col("cell"))).as("__hot"))
-      .select(when(col("__hot").getField("__cn") > maxCellRows, raise_error(
-        concat(lit("semanticDedup: cell "),
-          col("__hot").getField("cell").cast("string"),
-          lit(" holds "), col("__hot").getField("__cn").cast("string"),
+    // The rail rides the join's own partitioning (round 6): a count()
+    // window over the cell — hash-partitioned exactly as the candidate
+    // self-join requires, so the join reuses the exchange and the guard
+    // costs ZERO extra stages. (The previous formulation aggregated the
+    // hottest cell into a one-row relation and cross-joined it broadcast:
+    // two extra sequential query stages + a broadcast build per run.)
+    // Evaluating __ok throws BEFORE any over-rail cell's pairs are
+    // emitted — same fail-fast contract, still plan-native; the filter on
+    // __ok keeps Catalyst from pruning the guard away.
+    val wCell = Window.partitionBy(col("cell"))
+    val checked = raw
+      .withColumn("__cn", count(lit(1)).over(wCell))
+      .withColumn("__ok", when(col("__cn") > maxCellRows, raise_error(
+        concat(lit("semanticDedup: cell "), col("cell").cast("string"),
+          lit(" holds "), col("__cn").cast("string"),
           lit(s" rows > maxCellRows=$maxCellRows — the within-cell join is" +
             " quadratic; raise nlist (it must scale with the corpus) or" +
             " pass finer kmeansCentroids"))))
-        .otherwise(lit(1)).as("__ok"))
-    val checked = raw.crossJoin(broadcast(rail))
-      .where(col("__ok") === 1).drop("__ok")
+        .otherwise(lit(1)))
+      .where(col("__ok") === 1).drop("__ok", "__cn")
     val left = checked.select(col("cell"), col(id).as("__ida"),
       col(vec).as("__va"))
     val dups = checked.join(left, Seq("cell"))

@@ -99,6 +99,58 @@ class KernelTwinSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenStatsFast-derived columns == the five expression twins") {
+    import graft.corpus.Corpus
+    val st = col("__ts")
+    val n = st("_1"); val chars = st("_2"); val lenSum = st("_3")
+    val sw = st("_4"); val pc = st("_5")
+    val fast = df.withColumn("__ts", Text.tokenStatsFast(Corpus.Stopwords)(col("text")))
+      .select(col("id"),
+        n.cast("long"),
+        (n + greatest(lit(0.0), floor((chars - n * lit(6)) / lit(4.0)))).cast("long"),
+        round(when(n > 0, lenSum.cast("double") / n).otherwise(lit(0.0)), 4),
+        round(when(n > 0, sw.cast("double") / n).otherwise(lit(0.0)), 4),
+        round(when(length(col("text")) > 0,
+          pc.cast("double") / length(col("text"))).otherwise(lit(0.0)), 4)).collect()
+    val ref = df.select(col("id"),
+      Text.tokenCount(col("text")).cast("long"),
+      Text.bpeTokenCount(col("text")),
+      round(Text.meanTokenLen(col("text")), 4),
+      round(Text.stopwordRatio(col("text"), Corpus.Stopwords), 4),
+      round(Text.punctRatio(col("text")), 4)).collect()
+    fast.zip(ref).foreach { case (f, r) =>
+      (0 until r.length).foreach { i =>
+        assert(f.get(i) === r.get(i), s"id=${r.getLong(0)} field $i")
+      }
+    }
+  }
+
+  test("piiRedact kernel == the six-regex expression formulation, byte-equal") {
+    val pii = docs.map { case (i, s) =>
+      (i, if (s == null) null
+          else s + (if (i % 3 == 0) " bob@x.example.org and 10.0.0.1 call 555-123-4567 ok" else ""))
+    }.toDF("id", "text")
+    val fast = Curation.piiRedact(pii, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val t = col("text")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, Curation.EmailPattern, "<EMAIL>"),
+        Curation.Ipv4Pattern, "<IP>"),
+      Curation.PhonePattern, "<PHONE>")
+    val ref = pii.select(col("id"),
+      coalesce(regexp_count(t, lit(Curation.EmailPattern)), lit(0L)).as("n_email"),
+      coalesce(regexp_count(t, lit(Curation.Ipv4Pattern)), lit(0L)).as("n_ip"),
+      coalesce(regexp_count(t, lit(Curation.PhonePattern)), lit(0L)).as("n_phone"),
+      redacted.as("redacted_text")).collect()
+    ref.foreach { r =>
+      val f = fast(r.getLong(0))
+      (1 until r.length).foreach { i =>
+        assert(f.get(i) === r.get(i), s"id=${r.getLong(0)} field $i")
+      }
+    }
+  }
+
   test("distinctBucketsFast multiset == explode(array_distinct)+pmod(xxhash64)") {
     val dim = 4096
     val fast = df.select(
