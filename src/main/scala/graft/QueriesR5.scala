@@ -166,13 +166,17 @@ object QueriesR5 {
       // PlanShapeSpec asserts zero Exchange below the staging persist.
       // Gopher's word count IS the token count of the cleaned text, so
       // __tok reuses it instead of re-tokenizing.
-      val (_, _, c4Reason, c4Cleaned) = Curation.c4Fields(col("text"))
+      val c4s = col("__c4s")
+      val c4Reason = when(col("text").isNull, "missing_text")
+        .otherwise(c4s("reject_reason"))
+      val c4Cleaned = coalesce(c4s("cleaned_text"), lit(""))
       val gsig = col("__gsig")
       val gopReason = Curation.gopherReason(col("__ct"), gsig("wc"),
         gsig("mwl"), gsig("alpha_frac"), gsig("n_stop"), gsig("dup_frac"),
         minWords = 10, maxWords = 100000, minAlphaFrac = 0.8,
         maxDupFrac = 0.6)
       val staged = Caches.cache(docs
+        .withColumn("__c4s", Curation.c4FieldsFast()(col("text")))
         .withColumn("__c4", c4Reason.isNull)
         .withColumn("__ct", c4Cleaned)
         .withColumn("__gsig",

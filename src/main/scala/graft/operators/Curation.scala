@@ -60,16 +60,91 @@ object Curation {
       when(reason.isNull, array_join(kept, "\n")).otherwise(lit("")))
   }
 
+  /** Per-row C4 result struct ([[c4FieldsFast]]). */
+  final case class C4Row(n_lines: Int, n_kept: Int, reject_reason: String,
+      cleaned_text: String)
+
+  /** Typed single-pass C4 kernel — the `*Fast` twin of [[c4Fields]]
+    * (byte-equal incl. CRLF, trailing-empty-line and lone-'\r' edges,
+    * asserted in KernelTwinSpec): one scan splits on \r?\n exactly as the
+    * regex does (an optional '\r' immediately before each '\n' joins the
+    * separator; a lone '\r' stays in its line, trailing empties kept per
+    * split(..., -1)), applies the line rules (space-rtrimmed terminal
+    * punctuation + >= minLineWords whitespace tokens) and the ordered page
+    * rules, and joins kept lines — replacing a per-row chain of regex
+    * split + filter-HOF (itself tokenizing every line) + lower + contains
+    * + array_join interpreted trees. Null text returns a null struct; the
+    * caller's null algebra applies unchanged.
+    */
+  private[graft] def c4FieldsFast(minLineWords: Int = 5,
+      minKeptLines: Int = 3): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (t: String) =>
+      if (t == null) null.asInstanceOf[C4Row]
+      else {
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+        val len = t.length
+        var from = 0
+        var i = 0
+        while (i < len) {
+          if (t.charAt(i) == '\n') {
+            val end = if (i > from && t.charAt(i - 1) == '\r') i - 1 else i
+            lines += t.substring(from, end)
+            from = i + 1
+          }
+          i += 1
+        }
+        lines += t.substring(from)
+        def keepLine(l: String): Boolean = {
+          var e = l.length
+          while (e > 0 && l.charAt(e - 1) == ' ') e -= 1
+          if (e == 0) return false
+          val c = l.charAt(e - 1)
+          if (!(c == '.' || c == '!' || c == '?' || c == '"')) return false
+          // token count >= minLineWords, count-only scan
+          var n = 0
+          var j = 0
+          while (j < l.length && n < minLineWords) {
+            val ch = l.charAt(j)
+            if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' ||
+                ch == '\f' || ch == '\r') j += 1
+            else {
+              n += 1
+              var k = j + 1
+              while (k < l.length && {
+                val d = l.charAt(k)
+                !(d == ' ' || d == '\t' || d == '\n' || d == '\u000B' ||
+                  d == '\f' || d == '\r')
+              }) k += 1
+              j = k
+            }
+          }
+          n >= minLineWords
+        }
+        val kept = lines.filter(keepLine)
+        val lower = org.apache.spark.unsafe.types.UTF8String
+          .fromString(t).toLowerCase.toString
+        val reason =
+          if (lower.contains("lorem ipsum")) "lorem_ipsum"
+          else if (t.contains("{")) "brace"
+          else if (kept.size < minKeptLines) "too_few_lines"
+          else null
+        C4Row(lines.size, kept.size, reason,
+          if (reason == null) kept.mkString("\n") else "")
+      }
+    }
+
   def c4Clean(df: DataFrame, id: String, text: String,
       minLineWords: Int = 5, minKeptLines: Int = 3): DataFrame = {
-    val (nLines, nKept, reason, cleaned) =
-      c4Fields(col(text), minLineWords, minKeptLines)
-    df.select(col(id),
-      nLines.as("n_lines"),
-      nKept.as("n_kept"),
-      reason.as("reject_reason"),
-      reason.isNull.as("keep"),
-      cleaned.as("cleaned_text"))
+    val t = col(text)
+    val s = col("__c4s")
+    val reason = when(t.isNull, "missing_text").otherwise(s("reject_reason"))
+    df.withColumn("__c4s", c4FieldsFast(minLineWords, minKeptLines)(t))
+      .select(col(id),
+        coalesce(s("n_lines"), lit(0)).as("n_lines"),
+        coalesce(s("n_kept"), lit(0)).as("n_kept"),
+        reason.as("reject_reason"),
+        reason.isNull.as("keep"),
+        coalesce(s("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
   /** Gopher document-quality gate (Rae et al. 2021 §A.1.1), first failing

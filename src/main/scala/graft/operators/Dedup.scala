@@ -220,9 +220,11 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .distinct()
     // exact verification only touches candidate docs: semi-join the corpus
-    // down to candidates before computing gram arrays
+    // down to candidates before computing gram arrays (no distinct — a
+    // left-semi probe side needs no dedup, and the distinct was a whole
+    // extra exchange + aggregate in the plan)
     val candIds = pairs.select(col("id_a").as("__cid"))
-      .union(pairs.select(col("id_b").as("__cid"))).distinct()
+      .union(pairs.select(col("id_b").as("__cid")))
     val texts = df.join(candIds, col(id) === col("__cid"), "left_semi")
       .select(col(id), gramHashesFast(shingleN)(col(text)).as("__sh"))
     pairs

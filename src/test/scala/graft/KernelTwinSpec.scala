@@ -89,6 +89,33 @@ class KernelTwinSpec extends AnyFunSuite {
     }
   }
 
+  test("c4Clean kernel == the expression (c4Fields) formulation, full row") {
+    // C4-shaped docs: multi-line pages, CRLF, lone \r, trailing newlines,
+    // empty lines, lorem/brace plants, short lines, punctuation variants
+    val c4docs = (docs ++ Seq(
+      (1000L, "good line one with five words.\nshort.\nanother good long line here ok!\nthird nice long line sits here?"),
+      (1001L, "a b c d e.\r\nf g h i j!\r\nk l m n o?\r\n"),
+      (1002L, "lone \r stays inline with words here.\nsecond long line of words here.\nthird long line of words here."),
+      (1003L, "see Lorem IPSUM here.\nx.\ny."),
+      (1004L, "if (x) { y }\nlong line with many words here.\nmore words on this line here."),
+      (1005L, "trailing spaces line with words here.   \nanother padded long line right here!  \nthird one with enough words too?\n\n"),
+      (1006L, "\"quoted terminal line with five words\"\nsecond long quoted line of words.\nthird long line with words here.")
+    ).map { case (i, s) => (i, s) }).toDF("id", "text")
+    val fast = Curation.c4Clean(c4docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val (nLines, nKept, reason, cleaned) = Curation.c4Fields(col("text"))
+    val ref = c4docs.select(col("id"), nLines.as("n_lines"),
+      nKept.as("n_kept"), reason.as("reject_reason"),
+      reason.isNull.as("keep"), cleaned.as("cleaned_text")).collect()
+    ref.foreach { r =>
+      val f = fast(r.getLong(0))
+      (1 until r.length).foreach { i =>
+        assert(f.get(i) === r.get(i), s"id=${r.getLong(0)} field $i: " +
+          s"${f.get(i)} vs ${r.get(i)}")
+      }
+    }
+  }
+
   test("linedTextFast == the sequence/slice/concat_ws expression, byte-equal") {
     val got = df.select(col("id"),
       QueriesR4.linedTextFast(col("text")).as("fast"),
