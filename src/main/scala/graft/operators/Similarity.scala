@@ -326,10 +326,16 @@ object Similarity {
       .where(col("__ok") === 1).drop("__ok", "__cn")
     val left = checked.select(col("cell"), col(id).as("__ida"),
       col(vec).as("__va"))
+    // grouping by (cell, id) — id determines its cell, so the groups are
+    // identical to groupBy(id) — lets the aggregation's required
+    // distribution be satisfied by the join's own cell partitioning
+    // (hash(cell) clusters (cell, id)): at fact scale the dup_of min
+    // aggregates WITHOUT re-shuffling the pair stream
     val dups = checked.join(left, Seq("cell"))
       .where(col("__ida") < col(id) &&
         round(cosineFast(col("__va"), col(vec)), 6) >= minCos)
-      .groupBy(col(id)).agg(min(col("__ida")).as("dup_of"))
+      .groupBy(col("cell"), col(id)).agg(min(col("__ida")).as("dup_of"))
+      .select(col(id), col("dup_of"))
     raw.drop(vec)
       .join(dups, Seq(id), "left")
       .select(col(id), col("cell"), col("dup_of"),
