@@ -18,6 +18,8 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
 
   private val registered = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val broadcasts =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
 
   /** Persist and register `df`; returns the persisted frame. */
   def cache(df: DataFrame,
@@ -50,9 +52,29 @@ object Caches {
     }
   }
 
+  /** Broadcast `v` and register the handle for release: the kernel fast
+    * paths (TF-IDF / NLL vocabularies, NB weights, over-threshold line
+    * sets) ship value broadcasts into UDF closures, and a bare
+    * `sparkContext.broadcast` leaks its executor blocks until the driver
+    * GCs the handle — across a many-query session those blocks accumulate
+    * against execution memory (guide §5). `releaseAll` unpersists them
+    * (NOT destroy: an unpersisted broadcast transparently re-ships if the
+    * plan is re-executed, so callers keep lazy-re-execution semantics).
+    */
+  def broadcast[T: scala.reflect.ClassTag](
+      sc: org.apache.spark.SparkContext, v: T)
+      : org.apache.spark.broadcast.Broadcast[T] = synchronized {
+    val b = sc.broadcast(v)
+    broadcasts += b
+    b
+  }
+
   def releaseAll(): Unit = synchronized {
     registered.foreach(df =>
       try df.unpersist(blocking = true) catch { case _: Throwable => () })
     registered.clear()
+    broadcasts.foreach(b =>
+      try b.unpersist(blocking = true) catch { case _: Throwable => () })
+    broadcasts.clear()
   }
 }

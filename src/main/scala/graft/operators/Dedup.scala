@@ -539,7 +539,7 @@ object Dedup {
     val probe = common.limit(maxBroadcastLines + 1).collect().map(_.getLong(0))
     if (probe.length <= maxBroadcastLines) {
       java.util.Arrays.sort(probe)
-      val bc = df.sparkSession.sparkContext.broadcast(probe)
+      val bc = Caches.broadcast(df.sparkSession.sparkContext, probe)
       val sepLocal = sep
       val rebuild = udf { (t: String) =>
         if (t == null) ("", 0L, 0L)

@@ -95,7 +95,7 @@ object Quality {
           ((r.getLong(2) + alpha) / (totNeg + alpha * dim))))
     }
     val bias = quantize(math.log(nPos.toDouble / nNeg.toDouble))
-    val bc = df.sparkSession.sparkContext.broadcast(weights)
+    val bc = Caches.broadcast(df.sparkSession.sparkContext, weights)
     val dimLocal = dim
     val score = udf { (t: String) =>
       val toks = Dedup.fastTokens(t)

@@ -55,6 +55,49 @@ object Stats {
       .groupBy(group.map(col): _*)
       .agg(corr(col("__rx"), col("__ry")).as(as))
 
+  /** [[spearman]] twin for a GRID-valued x (a bounded value vocabulary:
+    * quantities, star ratings, bucketed scores): the x-rank comes from a
+    * map-side-combined (group, x) count aggregate — tiny by the grid
+    * precondition — prefix-summed over that tiny table and broadcast back,
+    * so the fact table pays ONE window sort (the continuous y) instead of
+    * two. The average rank is algebraically the window form's own:
+    * rank() = (rows strictly below) + 1 and the RANGE-frame peer count is
+    * the grid cell count, so __rx = (lt + 1) + (cnt - 1)/2.0 is the same
+    * double bit for bit (integers below 2^53). Beyond `maxGridRows` —
+    * i.e. x was not grid-valued after all — falls back to the two-window
+    * form rather than building a fact-sized broadcast. The grid aggregate
+    * is Caches-persisted: the rail probe and the join both consume it.
+    *
+    * Scale note: the two-window form serializes each group into one
+    * partition TWICE; at fact scale with few groups the second sort is a
+    * straggler (guide §2.5). This twin removes the x sort outright — the
+    * remaining y window is inherent to exact ranking.
+    */
+  def spearmanGridX(df: DataFrame, group: Seq[String], x: String, y: String,
+      as: String = "spearman", maxGridRows: Int = 1 << 20): DataFrame = {
+    val keys = group :+ x
+    val grid = Caches.cache(
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt")))
+    if (grid.limit(maxGridRows + 1).count() > maxGridRows)
+      return spearman(df, group, x, y, as)
+    // exclusive prefix of counts in x order within each group, over the
+    // TINY grid only (never the fact table)
+    val wLt = Window.partitionBy(group.map(col): _*).orderBy(col(x))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid
+      .withColumn("__lt", coalesce(sum(col("__cnt")).over(wLt), lit(0L)))
+      .select((keys.map(c => col(c).as(s"__g_$c")) :+
+        ((col("__lt") + lit(1L)).cast("double") +
+          (col("__cnt") - lit(1L)) / lit(2.0)).as("__rx")): _*)
+    // null-safe equality: a null group/x cell is a cell (the window form
+    // ranks it; a bare equi-join would drop it)
+    val cond = keys.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(ranked), cond)
+      .withColumn("__ry", avgRankCol(group, col(y)))
+      .groupBy(group.map(col): _*)
+      .agg(corr(col("__rx"), col("__ry")).as(as))
+  }
+
   /** Closed-form simple linear regression per group
     * (`helper/computeInteractionMatrix.R:66-67`): slope/intercept of y~x.
     */

@@ -87,7 +87,7 @@ object Terms {
     // N counts ALL corpus rows (token-free docs included), as in the
     // expression twin's count(lit(1)) aggregate
     val n = df.count()
-    val bc = df.sparkSession.sparkContext.broadcast((hashes, dfs))
+    val bc = Caches.broadcast(df.sparkSession.sparkContext, (hashes, dfs))
     val kLocal = k
     val score = udf { (t: String) =>
       val toks = Dedup.fastTokens(t)
@@ -185,7 +185,7 @@ object Terms {
     val totD = tot.toDouble
     val qs = pairs.map(p =>
       roundHalfUp(math.log(p._2.toDouble / totD) * 1e9, 0).toLong)
-    val bc = df.sparkSession.sparkContext.broadcast((hashes, qs))
+    val bc = Caches.broadcast(df.sparkSession.sparkContext, (hashes, qs))
     val nllOf = udf { (t: String) =>
       val toks = Dedup.fastTokens(t)
       if (toks.isEmpty) Option.empty[(Double, Long)]
