@@ -264,12 +264,21 @@ object FeaturePipeline {
     *   summary and the merge (one compute, ~3x its bytes in cache traffic);
     *   false: recompute phase-1 for each consumer (2x CPU, zero cache
     *   traffic). CPU scales with executors; a single box's memory bandwidth
-    *   does not — at high parallelism recompute can win (bench-measured).
+    *   does not. Default false since round 6: after the scalar-kernel
+    *   fusions phase-1 compute is one cheap pass and the MEMORY_AND_DISK
+    *   round trip dominates on a shared-memory-controller box — measured
+    *   at 12M rows, identical digests: local[32] 12.50 s persist vs
+    *   8.91 s recompute; local[8] 21.30 vs 21.70 (noise); local[2] 65.99
+    *   vs 70.31 (the one CPU-bound level where persist wins); pair
+    *   efficiency (T2/T8)/4 0.775 persist vs 0.810 recompute in the same
+    *   window. Output is bit-identical either way (GoldenFeatureSpec);
+    *   deployments whose executor memory bandwidth scales with nodes
+    *   should re-measure and may flip it back.
     */
   def featuresSkewSafe(events: DataFrame, dim: DataFrame, entDim: DataFrame,
       gapMs: Long = Corpus.SessionGapMs, timeBuckets: Int = 64,
       bounds: Option[(Long, Long)] = None,
-      reusePhase1: Boolean = true): DataFrame = {
+      reusePhase1: Boolean = false): DataFrame = {
     val scalar = scalarFeatures(events, dim, entDim)
 
     // fixed-width global time buckets. Bounds come from the caller when the
