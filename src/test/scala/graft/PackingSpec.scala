@@ -53,7 +53,7 @@ class PackingSpec extends AnyFunSuite {
 
   test("packSequences is invariant to nBuckets and partition layout") {
     val base = pack(docs)
-    for (nb <- Seq(1, 5, 64); parts <- Seq(1, 13))
+    for (nb <- Seq(1, 5, 64); parts <- Seq(1, 7, 13))
       assert(pack(docs.repartition(parts), nBuckets = nb) === base,
         s"nBuckets=$nb parts=$parts")
   }
@@ -151,7 +151,7 @@ class PackingSpec extends AnyFunSuite {
 
   test("temperatureSample is deterministic across partition layouts") {
     val base = temp(docs, alpha = 0.5, target = 30L)
-    for (parts <- Seq(1, 13))
+    for (parts <- Seq(1, 7, 13))
       assert(temp(docs.repartition(parts), alpha = 0.5, target = 30L) === base)
   }
 

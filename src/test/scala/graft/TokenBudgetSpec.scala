@@ -34,7 +34,7 @@ class TokenBudgetSpec extends AnyFunSuite {
 
   test("plain and skew-safe forms are bit-identical at any bucketing/layout") {
     val base = run(docs, skew = false)
-    for (nb <- Seq(1, 7, 64); parts <- Seq(1, 13)) {
+    for (nb <- Seq(1, 7, 64); parts <- Seq(1, 7, 13)) {
       assert(run(docs.repartition(parts), skew = true, nBuckets = nb) === base,
         s"nBuckets=$nb parts=$parts")
       assert(run(docs.repartition(parts), skew = false, nBuckets = nb) === base,
